@@ -1,0 +1,279 @@
+// Locality-aware polygon NMS core (host side).
+//
+// TPU-native framework note: the per-pixel quad *decode* runs vectorized on
+// device / in NumPy (fots/geometry.py:decode_quads_np); only the inherently
+// sequential merge runs here.  This re-implements the observable behavior of
+// the reference's nms/nms.h:116-215 + adaptor.cpp glue with an original
+// convex-polygon clipper (Sutherland–Hodgman) instead of the vendored
+// Clipper library:
+//   - locality-aware first pass: each candidate (in row-major scan order)
+//     tries to merge with the previously registered polygon, then with the
+//     polygons registered at (y-1,x), (y-1,x-1), (y-1,x+1) in poly_map;
+//   - weighted-corner merging with per-corner confidence accumulation
+//     (int64 fixed-point coordinate accumulators, float probabilities,
+//     matching the reference PolyMerger's arithmetic, nms.h:45-110);
+//   - a standard greedy score-sorted NMS second pass (nms.h:116-146).
+// Reference quirks reproduced for output parity: a candidate that merges
+// with nothing is inserted twice (nms.h:208+211), and the (y-1,x+1) lookup
+// is unchecked at the row edge (nms.h:194).
+//
+// Build: make -C native   ->  libfots_nms.so  (loaded via ctypes)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct Poly {
+  long long x_[4];
+  long long y_[4];
+  float score;
+  float probs[4];
+  int px;
+  int py;
+};
+
+// ---- convex polygon clipping (original implementation) ----
+
+struct Pt {
+  double x, y;
+};
+
+static double shoelace(const std::vector<Pt>& p) {
+  double a = 0;
+  size_t n = p.size();
+  if (n < 3) return 0;
+  for (size_t i = 0; i < n; i++) {
+    size_t j = (i + 1) % n;
+    a += p[i].x * p[j].y - p[j].x * p[i].y;
+  }
+  return 0.5 * a;
+}
+
+// clip subject polygon by the half-plane on the inner side of edge a->b
+// (inner = side of the clip polygon interior, given its orientation sign)
+static std::vector<Pt> clip_edge(const std::vector<Pt>& subject, Pt a, Pt b, double orient) {
+  std::vector<Pt> out;
+  size_t n = subject.size();
+  if (n == 0) return out;
+  auto side = [&](const Pt& p) {
+    return ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) * orient;
+  };
+  for (size_t i = 0; i < n; i++) {
+    Pt cur = subject[i];
+    Pt prev = subject[(i + n - 1) % n];
+    double sc = side(cur), sp = side(prev);
+    bool cin = sc >= 0, pin = sp >= 0;
+    if (cin) {
+      if (!pin) {
+        double t = sp / (sp - sc);
+        out.push_back({prev.x + t * (cur.x - prev.x), prev.y + t * (cur.y - prev.y)});
+      }
+      out.push_back(cur);
+    } else if (pin) {
+      double t = sp / (sp - sc);
+      out.push_back({prev.x + t * (cur.x - prev.x), prev.y + t * (cur.y - prev.y)});
+    }
+  }
+  return out;
+}
+
+static double poly_iou(const Poly& A, const Poly& B) {
+  std::vector<Pt> a(4), b(4);
+  for (int i = 0; i < 4; i++) {
+    a[i] = {double(A.x_[i]), double(A.y_[i])};
+    b[i] = {double(B.x_[i]), double(B.y_[i])};
+  }
+  double area_a = shoelace(a), area_b = shoelace(b);
+  double orient = (area_b >= 0) ? 1.0 : -1.0;
+  std::vector<Pt> inter = a;
+  for (int i = 0; i < 4 && !inter.empty(); i++) {
+    inter = clip_edge(inter, b[i], b[(i + 1) % 4], orient);
+  }
+  double inter_area = std::fabs(shoelace(inter));
+  double uni = std::fabs(area_a) + std::fabs(area_b) - inter_area;
+  return inter_area / std::max(uni, 1.0);
+}
+
+// ---- weighted merger (arithmetic mirrors reference PolyMerger) ----
+
+struct Merger {
+  long long data[8];
+  float score;
+  float probs[4];
+  Merger() : score(0) {
+    std::memset(data, 0, sizeof(data));
+    std::memset(probs, 0, sizeof(probs));
+  }
+  void add(const Poly& p) {
+    data[0] += (long long)(p.x_[0] * p.probs[0]);
+    data[1] += (long long)(p.y_[0] * p.probs[3]);
+    data[2] += (long long)(p.x_[1] * p.probs[0]);
+    data[3] += (long long)(p.y_[1] * p.probs[1]);
+    data[4] += (long long)(p.x_[2] * p.probs[2]);
+    data[5] += (long long)(p.y_[2] * p.probs[1]);
+    data[6] += (long long)(p.x_[3] * p.probs[2]);
+    data[7] += (long long)(p.y_[3] * p.probs[3]);
+    score += p.score;
+    for (int i = 0; i < 4; i++) probs[i] += p.probs[i];
+  }
+  Poly get() const {
+    Poly p;
+    p.x_[0] = (long long)(data[0] / probs[0]);
+    p.y_[0] = (long long)(data[1] / probs[3]);
+    p.x_[1] = (long long)(data[2] / probs[0]);
+    p.y_[1] = (long long)(data[3] / probs[1]);
+    p.x_[2] = (long long)(data[4] / probs[2]);
+    p.y_[2] = (long long)(data[5] / probs[1]);
+    p.x_[3] = (long long)(data[6] / probs[2]);
+    p.y_[3] = (long long)(data[7] / probs[3]);
+    p.score = score;
+    for (int i = 0; i < 4; i++) p.probs[i] = probs[i];
+    p.px = 0;
+    p.py = 0;
+    return p;
+  }
+};
+
+static bool should_merge(const Poly& a, const Poly& b, float th) {
+  return poly_iou(a, b) > th;
+}
+
+static void merge_pair(Poly& target, const Poly& incoming, bool incoming_first) {
+  Merger m;
+  if (incoming_first) {
+    m.add(incoming);
+    m.add(target);
+  } else {
+    m.add(target);
+    m.add(incoming);
+  }
+  target = m.get();
+}
+
+static std::vector<Poly> standard_nms(std::vector<Poly>& polys, float th) {
+  size_t n = polys.size();
+  if (n == 0) return {};
+  std::vector<size_t> idx(n);
+  std::iota(idx.begin(), idx.end(), 0);
+  std::sort(idx.begin(), idx.end(),
+            [&](size_t i, size_t j) { return polys[i].score > polys[j].score; });
+  std::vector<size_t> keep;
+  while (!idx.empty()) {
+    size_t p = 0, cur = idx[0];
+    keep.push_back(cur);
+    for (size_t i = 1; i < idx.size(); i++) {
+      if (!should_merge(polys[cur], polys[idx[i]], th)) {
+        idx[p++] = idx[i];
+      } else {
+        merge_pair(polys[cur], polys[idx[i]], /*incoming_first=*/true);
+      }
+    }
+    idx.resize(p);
+  }
+  std::vector<Poly> out;
+  for (size_t k : keep) out.push_back(polys[k]);
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// quads: [n,8] int64 fixed-point (x0,y0,...,x3,y3); scores/probs per
+// candidate in row-major scan order; returns the number of merged polys
+// written (capped at max_out).
+int fots_nms(const long long* quads, const float* scores, const float* probs,
+             const int* xs, const int* ys, int n, int w, int h, float th1,
+             float th2, long long* out_quads, float* out_scores, int max_out) {
+  std::vector<int> poly_map((size_t)w * h, -1);
+  std::vector<Poly> polys;
+  polys.reserve(n * 2);
+
+  for (int i = 0; i < n; i++) {
+    Poly poly;
+    for (int k = 0; k < 4; k++) {
+      poly.x_[k] = quads[i * 8 + 2 * k];
+      poly.y_[k] = quads[i * 8 + 2 * k + 1];
+    }
+    poly.score = scores[i];
+    for (int k = 0; k < 4; k++) poly.probs[k] = probs[i * 4 + k];
+    poly.px = xs[i];
+    poly.py = ys[i];
+
+    bool merged = false;
+    if (!polys.empty()) {
+      Poly& bpoly = polys.back();
+      if (should_merge(poly, bpoly, th1)) {
+        merge_pair(bpoly, poly, /*incoming_first=*/false);
+        poly_map[(size_t)poly.py * w + poly.px] = (int)polys.size() - 1;
+        merged = true;
+      } else if (poly.py > 0) {
+        int idx = poly_map[(size_t)(poly.py - 1) * w + poly.px];
+        if (idx >= 0) {
+          if (should_merge(poly, polys[idx], th1)) {
+            merge_pair(polys[idx], poly, /*incoming_first=*/false);
+            poly_map[(size_t)poly.py * w + poly.px] = idx;
+            merged = true;
+          }
+          if (!merged && poly.px > 0) {
+            int idx2 = poly_map[(size_t)(poly.py - 1) * w + poly.px - 1];
+            if (idx2 >= 0 && should_merge(poly, polys[idx2], th1)) {
+              merge_pair(polys[idx2], poly, false);
+              poly_map[(size_t)poly.py * w + poly.px] = idx2;
+              merged = true;
+            }
+          }
+          if (!merged) {
+            // parity: the reference reads (y-1, x+1) without a column
+            // bound (nms.h:194); clamp only against the buffer end
+            size_t off = (size_t)(poly.py - 1) * w + poly.px + 1;
+            if (off < poly_map.size()) {
+              int idx3 = poly_map[off];
+              if (idx3 >= 0 && should_merge(poly, polys[idx3], th1)) {
+                merge_pair(polys[idx3], poly, false);
+                poly_map[(size_t)poly.py * w + poly.px] = idx3;
+                merged = true;
+              }
+            }
+          }
+        }
+      }
+      if (!merged) {
+        polys.push_back(poly);  // parity: double insert (nms.h:208+211)
+      }
+    }
+    if (!merged) {
+      polys.push_back(poly);
+      poly_map[(size_t)poly.py * w + poly.px] = (int)polys.size() - 1;
+    }
+  }
+
+  std::vector<Poly> out = standard_nms(polys, th2);
+  int m = std::min((int)out.size(), max_out);
+  for (int i = 0; i < m; i++) {
+    for (int k = 0; k < 4; k++) {
+      out_quads[i * 8 + 2 * k] = out[i].x_[k];
+      out_quads[i * 8 + 2 * k + 1] = out[i].y_[k];
+    }
+    out_scores[i] = out[i].score;
+  }
+  return (int)out.size();
+}
+
+// Standalone rotated-IoU for testing / eval: quads as 8 doubles each.
+double fots_quad_iou(const double* qa, const double* qb) {
+  Poly A, B;
+  for (int k = 0; k < 4; k++) {
+    A.x_[k] = (long long)(qa[2 * k] * 10000.0);
+    A.y_[k] = (long long)(qa[2 * k + 1] * 10000.0);
+    B.x_[k] = (long long)(qb[2 * k] * 10000.0);
+    B.y_[k] = (long long)(qb[2 * k + 1] * 10000.0);
+  }
+  return poly_iou(A, B);
+}
+}

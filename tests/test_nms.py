@@ -1,0 +1,117 @@
+"""NMS: IoU correctness, merge behavior, native-vs-NumPy agreement."""
+
+import numpy as np
+import pytest
+
+import fots.ops.nms as nms_mod
+from fots.ops.nms import get_boxes, locality_aware_nms, quad_iou
+
+
+def _axis_quad(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x0, y1], [x1, y1], [x1, y0]], np.float64)
+
+
+def test_quad_iou_axis_aligned():
+    a = _axis_quad(0, 0, 10, 10)
+    b = _axis_quad(5, 0, 15, 10)
+    got = quad_iou(a, b)
+    np.testing.assert_allclose(got, 50.0 / 150.0, rtol=1e-6)
+    assert quad_iou(a, a) == pytest.approx(1.0)
+    assert quad_iou(a, _axis_quad(20, 20, 30, 30)) == pytest.approx(0.0)
+
+
+def test_quad_iou_rotated():
+    a = _axis_quad(0, 0, 10, 10)
+    # 45-degree rotated square centered same, side 10*sqrt(2)/?  use known:
+    b = np.array([[5, -5], [-5, 5], [5, 15], [15, 5]], np.float64)
+    # intersection is the full square a (b circumscribes a rotated by 45):
+    # b is a square with diagonal 20 centered at (5,5): area 200... compute
+    got = quad_iou(a, b)
+    # |a|=100, |b|=200, intersection = a fully inside b -> 100/200
+    np.testing.assert_allclose(got, 0.5, rtol=1e-6)
+
+
+def test_quad_iou_native_matches_numpy(rng):
+    if nms_mod._load_native() is None:
+        pytest.skip("native lib unavailable")
+    for _ in range(50):
+        c1 = rng.uniform(0, 50, 2)
+        c2 = rng.uniform(0, 50, 2)
+        q1 = _axis_quad(c1[0], c1[1], c1[0] + rng.uniform(5, 30), c1[1] + rng.uniform(5, 30))
+        q2 = _axis_quad(c2[0], c2[1], c2[0] + rng.uniform(5, 30), c2[1] + rng.uniform(5, 30))
+        native = quad_iou(q1, q2)
+        py = nms_mod._quad_iou_np(q1, q2)
+        # native rounds coords to 1e-4 fixed point first
+        np.testing.assert_allclose(native, py, atol=2e-4)
+
+
+def _candidates_for_two_clusters():
+    """Two clusters of heavily-overlapping candidates + scan metadata."""
+    quads, scores, probs, xs, ys = [], [], [], [], []
+    for j, base in enumerate([(20.0, 20.0), (200.0, 120.0)]):
+        for i in range(4):
+            dx = i * 0.5
+            q = _axis_quad(base[0] + dx, base[1], base[0] + 60 + dx, base[1] + 20)
+            quads.append(q)
+            scores.append(0.9 - 0.01 * i)
+            probs.append([0.5, 0.5, 0.5, 0.5])
+            xs.append(int(base[0] / 4) + i)
+            ys.append(int(base[1] / 4))
+    return (np.asarray(quads), np.asarray(scores, np.float32),
+            np.asarray(probs, np.float32), np.asarray(xs), np.asarray(ys))
+
+
+def test_locality_aware_nms_merges_clusters():
+    quads, scores, probs, xs, ys = _candidates_for_two_clusters()
+    out = locality_aware_nms(quads, scores, probs, xs, ys, 128, 64)
+    assert out.shape[1] == 9
+    assert out.shape[0] == 2  # one box per cluster
+    # merged corner coords stay near the cluster
+    assert abs(out[0, 0] - 20.0) < 3
+    # scores accumulate over merged members (locality-aware behavior)
+    assert out[:, 8].max() > 1.0
+
+
+def test_nms_numpy_fallback_agrees_with_native():
+    if nms_mod._load_native() is None:
+        pytest.skip("native lib unavailable")
+    quads, scores, probs, xs, ys = _candidates_for_two_clusters()
+    native = locality_aware_nms(quads, scores, probs, xs, ys, 128, 64)
+    lib = nms_mod._lib
+    nms_mod._lib = None
+    nms_mod._lib_tried = True
+    try:
+        py = locality_aware_nms(quads, scores, probs, xs, ys, 128, 64)
+    finally:
+        nms_mod._lib = lib
+    assert native.shape == py.shape
+    np.testing.assert_allclose(native[:, :8], py[:, :8], atol=2e-4)
+    np.testing.assert_allclose(native[:, 8], py[:, 8], rtol=1e-5)
+
+
+def test_get_boxes_end_to_end(rng):
+    """Synthesize maps containing one clean word region -> one box out."""
+    H, W = 32, 64
+    segm = np.zeros((H, W), np.float32)
+    geo = np.zeros((H, W, 4), np.float32)
+    angle = np.zeros((H, W, 2), np.float32)
+    angle[..., 1] = 1.0  # cos=1, sin=0 (horizontal)
+    # word occupying pixels y in [10,14], x in [10,30] at map scale
+    for y in range(10, 15):
+        for x in range(10, 31):
+            segm[y, x] = 0.95
+            geo[y, x] = [y - 9.5, 14.5 - y, x - 9.5, 30.5 - x]
+    boxes = get_boxes(segm, geo, angle, 0.5)
+    assert boxes.shape[0] >= 1
+    b = boxes[np.argmax(boxes[:, 8])]
+    # expected image-space extent: map coords * 4
+    xs = b[0:8:2]
+    ys = b[1:8:2]
+    assert 30 < xs.min() < 50 and 115 < xs.max() < 130
+    assert 35 < ys.min() < 45 and 55 < ys.max() < 62
+
+
+def test_get_boxes_empty():
+    out = get_boxes(np.zeros((8, 8), np.float32), np.zeros((8, 8, 4), np.float32),
+                    np.zeros((8, 8, 2), np.float32))
+    assert out.shape == (0, 9)

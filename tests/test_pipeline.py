@@ -1,0 +1,52 @@
+"""Fused e2e inference pipeline smoke test (random weights, tiny image)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fots.models import FOTSDetector
+from fots.models.detector import init_detector
+from fots.pipeline import FOTSInference, strip_width_for_box
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    return FOTSInference(model, variables)
+
+
+def test_strip_width_rule():
+    # h=22 -> scale 0.5; w=100 -> 50+11=61 -> max(2, 61//32)*32 = 64
+    # (the reference rule floors at 2*32, ocr_utils.py:150)
+    assert strip_width_for_box(100, 22) == 64
+    # huge box saturates at the top bucket
+    assert strip_width_for_box(5000, 11) == 512
+    # degenerate h clamps to scale 11 (reference max(1,h), ocr_utils.py:148)
+    assert strip_width_for_box(10, 0) == 96
+
+
+def test_pipeline_runs_on_random_image(engine, rng):
+    im = (rng.uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+    results, im_resized = engine(im)
+    assert isinstance(results, list)
+    assert im_resized.shape[0] % 32 == 0 and im_resized.shape[1] % 32 == 0
+    for r in results:
+        assert r["box"].shape == (9,)
+        assert isinstance(r["text"], str)
+
+
+def test_recognize_boxes_bucketing(engine):
+    # synthetic boxes with different widths land in different buckets but
+    # all decode without error
+    boxes = np.array(
+        [
+            [10, 10, 10, 30, 90, 30, 90, 10, 1.0],
+            [10, 40, 10, 60, 300, 60, 300, 40, 1.0],
+        ],
+        np.float32,
+    )
+    focr = engine.detect_maps(np.zeros((1, 96, 128, 3), np.float32))[3]
+    texts = engine.recognize_boxes(boxes, focr)
+    assert len(texts) == 2
