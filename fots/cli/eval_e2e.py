@@ -1,0 +1,65 @@
+"""ICDAR-style end-to-end evaluation CLI (mirrors reference tools/eval.py).
+
+Runs the fused pipeline over an image list with GT, reports running
+detection/e2e precision/recall/hmean.
+
+Usage:
+  python -m fots.cli.eval_e2e -model backup/ -images_list data/eval.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import cv2
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-model", default=None)
+    parser.add_argument("-h5", default=None)
+    parser.add_argument("-images_list", required=True,
+                        help="file listing image paths (gt_*.txt alongside)")
+    parser.add_argument("-segm_thresh", type=float, default=0.5)
+    parser.add_argument("-eval_text_length", type=int, default=3)
+    parser.add_argument("-scale_up", action="store_true")
+    parser.add_argument("-out_json", default=None)
+    args = parser.parse_args(argv)
+
+    from fots.cli.detect import load_engine
+    from fots.data.annotations import load_annotation, load_image_list
+    from fots.evaluate import E2EMetrics
+
+    engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh)
+    metrics = E2EMetrics()
+
+    for i, path in enumerate(load_image_list(args.images_list)):
+        im = cv2.imread(path)
+        if im is None:
+            continue
+        polys, tags, labels = load_annotation(path, im.shape)
+        results, im_resized = engine(im, scale_up=args.scale_up)
+        # map GT into resized coordinates
+        sy = im_resized.shape[0] / im.shape[0]
+        sx = im_resized.shape[1] / im.shape[1]
+        gt_rect = (polys * np.array([sx, sy])).reshape(-1, 8) if len(polys) else np.zeros((0, 8))
+        dets = [(r["box"], r["text"]) for r in results]
+        metrics.add_image(dets, gt_rect, labels,
+                          eval_text_length=args.eval_text_length)
+        if i % 10 == 0:
+            s = metrics.summary()
+            print(f"[{i}] det hmean {s['detection_hmean']:.3f} "
+                  f"e2e hmean {s['e2e_hmean']:.3f}", flush=True)
+
+    summary = metrics.summary()
+    print(json.dumps(summary, indent=2))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Standalone CRNN training CLI (mirrors reference tools/train_crnn.py).
+
+Usage:
+  python -m fots.cli.train_crnn -train_list crops/gt.txt -max_iters 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-train_list", default="/root/reference/sample_train_data/MLT_CROPS/gt.txt")
+    parser.add_argument("-batch_size", type=int, default=8)
+    parser.add_argument("-base_lr", type=float, default=1e-4)
+    parser.add_argument("-max_iters", type=int, default=10000)
+    parser.add_argument("-disp_interval", type=int, default=10)
+    parser.add_argument("-num_readers", type=int, default=2)
+    parser.add_argument("-seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from fots.data.ocr_crops import ocr_crop_batches
+    from fots.train_ocr import CRNNTrainer
+
+    trainer = CRNNTrainer(lr=args.base_lr, seed=args.seed)
+    batches = ocr_crop_batches(
+        args.train_list, num_workers=args.num_readers,
+        batch_size=args.batch_size, norm_height=32, seed=args.seed,
+    )
+    try:
+        for i, batch in enumerate(batches):
+            if i >= args.max_iters:
+                break
+            loss = trainer.step(batch)
+            if i % args.disp_interval == 0:
+                print(f"step {i} ctc_loss {loss:.4f}", flush=True)
+    finally:
+        batches.stop()
+
+
+if __name__ == "__main__":
+    main()

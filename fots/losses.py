@@ -146,7 +146,11 @@ def ctc_loss(log_probs, labels, label_lengths, logit_lengths=None, roi_mask=None
     pos_ids = jnp.arange(labels.shape[1])[None, :]
     label_paddings = (pos_ids >= label_lengths[:, None]).astype(log_probs.dtype)
     per_example = optax.ctc_loss(log_probs, logit_paddings, labels, label_paddings, blank_id=0)
+    # impossible alignments (more label symbols than frames) produce the
+    # optax log-eps clamp (~1e5) and would drown the real signal; mask them
+    feasible = (label_lengths <= logit_lengths).astype(log_probs.dtype)
     if roi_mask is None:
-        return jnp.mean(per_example)
+        roi_mask = jnp.ones((n,), log_probs.dtype)
+    roi_mask = roi_mask * feasible
     cnt = jnp.maximum(jnp.sum(roi_mask), 1.0)
     return jnp.sum(per_example * roi_mask) / cnt

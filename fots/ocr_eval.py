@@ -1,0 +1,96 @@
+"""Recognition evaluation: accuracy, edit distance, per-script breakdown.
+
+Re-implements the metric surface of the reference
+(tools/ocr_test_utils.py:26-296, tools/test_crnn.py:118-141): exact-match
+accuracy, total/mean edit distance, and per-script (Latin / Arabic / CJK /
+Digit / ...) accuracy tables classified via unicodedata, with optional CSV
+output.  The HTML worst-case report is replaced by a plain sorted list of
+the worst predictions.
+"""
+
+from __future__ import annotations
+
+import unicodedata as ud
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from fots.codec import levenshtein
+
+_SCRIPT_PREFIXES = (
+    ("LATIN", "Latin"),
+    ("ARABIC", "Arabic"),
+    ("CJK", "CJK"),
+    ("HIRAGANA", "Japanese"),
+    ("KATAKANA", "Japanese"),
+    ("HANGUL", "Korean"),
+    ("BENGALI", "Bangla"),
+    ("DEVANAGARI", "Devanagari"),
+    ("CYRILLIC", "Cyrillic"),
+    ("GREEK", "Greek"),
+    ("DIGIT", "Digit"),
+)
+
+
+def script_of(text: str) -> str:
+    """Dominant script of a transcription (first letter-ish char wins)."""
+    for ch in text:
+        try:
+            name = ud.name(ch)
+        except ValueError:
+            continue
+        for prefix, script in _SCRIPT_PREFIXES:
+            if prefix in name:
+                return script
+    return "Other"
+
+
+@dataclass
+class OCRMetrics:
+    correct: int = 0
+    total: int = 0
+    edit_dist: int = 0
+    gt_chars: int = 0
+    per_script: Dict[str, List[int]] = field(default_factory=dict)  # [correct, total]
+    worst: List[Tuple[int, str, str]] = field(default_factory=list)
+
+    def add(self, pred: str, gt: str):
+        ok = pred == gt
+        d = levenshtein(pred, gt)
+        self.correct += int(ok)
+        self.total += 1
+        self.edit_dist += d
+        self.gt_chars += len(gt)
+        s = script_of(gt)
+        self.per_script.setdefault(s, [0, 0])
+        self.per_script[s][0] += int(ok)
+        self.per_script[s][1] += 1
+        if d > 0:
+            self.worst.append((d, gt, pred))
+
+    def summary(self) -> Dict:
+        acc = self.correct / self.total if self.total else 0.0
+        cer = self.edit_dist / self.gt_chars if self.gt_chars else 0.0
+        return {
+            "accuracy": acc,
+            "total": self.total,
+            "edit_distance": self.edit_dist,
+            "cer": cer,
+            "per_script": {
+                k: {"accuracy": c / t if t else 0.0, "total": t}
+                for k, (c, t) in sorted(self.per_script.items())
+            },
+        }
+
+    def worst_cases(self, n: int = 20) -> List[Tuple[int, str, str]]:
+        return sorted(self.worst, key=lambda x: -x[0])[:n]
+
+    def to_csv(self, path: str):
+        import csv
+
+        s = self.summary()
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["script", "accuracy", "total"])
+            w.writerow(["ALL", s["accuracy"], s["total"]])
+            for k, v in s["per_script"].items():
+                w.writerow([k, v["accuracy"], v["total"]])

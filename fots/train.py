@@ -1,0 +1,247 @@
+"""Joint detection + recognition training (pjit over a device mesh).
+
+TPU re-design of the reference trainer (train.py:30-141):
+
+- ONE compiled train step per strip-width bucket does: detector forward,
+  EAST loss, RoIRotate of the shared focr features, recognition head, CTC
+  — forward AND backward entirely on device (the reference round-trips
+  predictions to host mid-step);
+- roi sampling (the host part of process_boxes) runs on the *previous*
+  step's detached prediction maps, pipelined so the device never waits on
+  host Python (one forward per step — the reference also forwards once
+  but synchronizes twice);
+- batch is sharded over the 'data' mesh axis (pjit-DP; XLA inserts the
+  gradient psum over ICI), parameters replicated (vocab head optionally
+  sharded over 'model');
+- Adam(lr, betas=(0.5, 0.999)) as in train.py:40; per-step metrics via
+  running averagers; orbax checkpoints with step/opt state.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.training import train_state
+
+from fots.codec import LabelCodec
+from fots.losses import ctc_loss, detection_loss
+from fots.models import FOTSDetector
+from fots.models.detector import init_detector
+from fots.ops.rroi_align import rroi_align
+from fots.parallel import batch_sharding, make_mesh, param_shardings, replicate
+from fots.roirotate import POOLED_HEIGHT, RoiBatch, sample_rois
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+    rng: Any = struct.field(pytree_node=True, default=None)
+
+
+def create_train_state(
+    model: FOTSDetector,
+    rng,
+    learning_rate: float = 1e-3,
+    input_size: int = 512,
+) -> TrainState:
+    variables = init_detector(
+        model, rng, image_shape=(1, input_size, input_size, 3)
+    )
+    tx = optax.adam(learning_rate, b1=0.5, b2=0.999)  # reference train.py:40
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        rng=rng,
+        tx=tx,
+    )
+
+
+def make_train_step(model: FOTSDetector, multi_scale: bool = True):
+    """Returns step(state, device_batch, strip_width) jitted per bucket."""
+
+    @functools.partial(jax.jit, static_argnames=("strip_width",), donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], strip_width: int):
+        rng, new_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"],
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            det = detection_loss(
+                out,
+                batch["score_maps"],
+                batch["training_masks"],
+                batch["geo_maps"],
+                batch["angle_gt"],
+                multi_scale=multi_scale,
+            )
+            strips = rroi_align(out["focr"], batch["rois"], POOLED_HEIGHT,
+                                strip_width, 0.25)
+            logp = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                strips,
+                train=True,
+                rngs={"dropout": rng},
+                method=FOTSDetector.recognize,
+            )
+            ctc = ctc_loss(logp, batch["labels"], batch["label_lengths"],
+                           roi_mask=batch["roi_mask"])
+            total = det["total"] + ctc
+            aux = {
+                "loss": total,
+                "segm_loss": det["segm"],
+                "angle_loss": det["angle"],
+                "iou_loss": det["iou"],
+                "ctc_loss": ctc,
+                "segm_pred": out["segm"][0][..., 0],
+                "geo_pred": out["rbox"][0],
+                "angle_pred": out["angle"][0],
+                "batch_stats": updates["batch_stats"],
+            }
+            return total, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, batch_stats=aux.pop("batch_stats"), rng=new_rng
+        )
+        maps = {
+            "segm": jax.lax.stop_gradient(aux.pop("segm_pred")),
+            "geo": jax.lax.stop_gradient(aux.pop("geo_pred")),
+            "angle": jax.lax.stop_gradient(aux.pop("angle_pred")),
+        }
+        return new_state, aux, maps
+
+    return train_step
+
+
+@dataclass
+class Averager:
+    """Running mean (reference src/utils.py:192-220)."""
+
+    total: float = 0.0
+    count: int = 0
+
+    def add(self, v: float):
+        self.total += float(v)
+        self.count += 1
+
+    def val(self) -> float:
+        return self.total / self.count if self.count else 0.0
+
+    def reset(self):
+        self.total, self.count = 0.0, 0
+
+
+class Trainer:
+    """Training loop driver: host sampling pipelined against device steps."""
+
+    def __init__(
+        self,
+        model: Optional[FOTSDetector] = None,
+        codec: Optional[LabelCodec] = None,
+        learning_rate: float = 1e-3,
+        input_size: int = 512,
+        seed: int = 0,
+        mesh=None,
+        use_predicted_rois: bool = True,
+    ):
+        self.codec = codec or LabelCodec()
+        self.model = model or FOTSDetector(nclass=self.codec.num_classes)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.input_size = input_size
+        self.use_predicted_rois = use_predicted_rois
+        self.state = create_train_state(
+            self.model, jax.random.PRNGKey(seed), learning_rate, input_size
+        )
+        # place params on mesh (replicated / vocab-sharded)
+        shardings = param_shardings(self.state.params, self.mesh)
+        self.state = self.state.replace(
+            params=jax.tree_util.tree_map(jax.device_put, self.state.params, shardings)
+        )
+        self._step_fn = make_train_step(self.model, self.model.multi_scale)
+        self._np_rng = np.random.default_rng(seed)
+        self._prev_maps = None  # previous step's detached prediction maps
+        self.metrics = {k: Averager() for k in
+                        ("loss", "segm_loss", "angle_loss", "iou_loss", "ctc_loss")}
+
+    def _build_roi_batch(self, batch) -> RoiBatch:
+        segm = geo = angle = None
+        if self.use_predicted_rois and self._prev_maps is not None:
+            pm = self._prev_maps
+            if pm["segm"].shape[0] == batch.images.shape[0] and \
+               pm["segm"].shape[1:] == batch.score_maps.shape[1:]:
+                segm, geo, angle = pm["segm"], pm["geo"], pm["angle"]
+        return sample_rois(
+            self._np_rng,
+            batch.score_maps,
+            batch.gt_idxs,
+            batch.gt_quads,
+            batch.labels,
+            batch.images.shape[1:3],
+            self.codec,
+            segm_pred=segm,
+            geo_pred=geo,
+            angle_pred=angle,
+        )
+
+    def step(self, batch) -> Dict[str, float]:
+        """One training step from a host DetectionBatch."""
+        roi_batch = self._build_roi_batch(batch)
+        dev = {
+            "images": jax.device_put(batch.images, batch_sharding(self.mesh)),
+            "score_maps": jax.device_put(batch.score_maps.astype(np.float32),
+                                         batch_sharding(self.mesh)),
+            "training_masks": jax.device_put(batch.training_masks.astype(np.float32),
+                                             batch_sharding(self.mesh)),
+            "geo_maps": jax.device_put(batch.geo_maps[..., :4].astype(np.float32),
+                                       batch_sharding(self.mesh)),
+            "angle_gt": jax.device_put(batch.geo_maps[..., 4].astype(np.float32),
+                                       batch_sharding(self.mesh)),
+            "rois": jax.device_put(roi_batch.rois, replicate(self.mesh)),
+            "labels": jax.device_put(roi_batch.labels, replicate(self.mesh)),
+            "label_lengths": jax.device_put(roi_batch.label_lengths, replicate(self.mesh)),
+            "roi_mask": jax.device_put(roi_batch.roi_mask, replicate(self.mesh)),
+        }
+        self.state, aux, maps = self._step_fn(self.state, dev, roi_batch.strip_width)
+        # pull tiny maps for next step's roi sampling (pipelined, off the
+        # critical path of the device step)
+        self._prev_maps = {k: np.asarray(v) for k, v in maps.items()}
+        out = {}
+        for k, avg in self.metrics.items():
+            v = float(aux[k])
+            avg.add(v)
+            out[k] = v
+        return out
+
+    def train(self, batches, max_steps: int, log_every: int = 5,
+              checkpoint_dir: Optional[str] = None, checkpoint_every: int = 10000):
+        from fots.checkpoint import save_checkpoint
+
+        t0 = time.time()
+        for step_idx, batch in enumerate(batches):
+            if step_idx >= max_steps:
+                break
+            self.step(batch)
+            if step_idx % log_every == 0:
+                dt = time.time() - t0
+                msg = " ".join(f"{k}: {self.metrics[k].val():.3f}" for k in self.metrics)
+                print(f"step {step_idx} {msg} time {dt:.3f}s", flush=True)
+                t0 = time.time()
+            if checkpoint_dir and step_idx > 0 and step_idx % checkpoint_every == 0:
+                save_checkpoint(checkpoint_dir, self.state, step_idx)
+                for avg in self.metrics.values():
+                    avg.reset()
+        if checkpoint_dir:
+            save_checkpoint(checkpoint_dir, self.state, max_steps)

@@ -1,0 +1,97 @@
+"""Torch state_dict import: mapping completeness + value placement."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fots.checkpoint import (
+    import_torch_state_dict,
+    reference_key_map,
+)
+from fots.models import FOTSDetector
+from fots.models.detector import init_detector
+
+
+@pytest.fixture(scope="module")
+def variables():
+    model = FOTSDetector(nclass=87)
+    return init_detector(model, jax.random.PRNGKey(0))
+
+
+def _get_path(tree, path):
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return node
+
+
+def _make_torch_shaped_state_dict(variables, rng):
+    """Synthesize a torch-layout state_dict whose shapes invert our mapping."""
+    sd = {}
+    for tk, (fpath, kind) in reference_key_map().items():
+        coll = "batch_stats" if kind == "stat" else "params"
+        try:
+            leaf = _get_path(variables[coll], fpath)
+        except KeyError:
+            raise AssertionError(f"flax path missing for {tk} -> {fpath}")
+        arr = rng.standard_normal(np.shape(leaf)).astype(np.float32)
+        if kind in ("conv", "dw"):
+            arr = np.transpose(arr, (3, 2, 0, 1))  # flax->torch layout
+        if tk.endswith("running_var"):
+            arr = np.abs(arr) + 0.5  # variances must be positive
+        sd[tk] = arr
+    return sd
+
+
+def test_every_mapped_path_exists_in_model(variables):
+    # _make_torch_shaped_state_dict asserts on missing paths
+    rng = np.random.default_rng(0)
+    _make_torch_shaped_state_dict(variables, rng)
+
+
+def test_import_roundtrip_values(variables):
+    rng = np.random.default_rng(1)
+    sd = _make_torch_shaped_state_dict(variables, rng)
+    new_vars, imported, skipped = import_torch_state_dict(sd, variables)
+    assert len(imported) == len(sd)
+    assert skipped == []
+    # spot-check: conv kernel transposed correctly
+    got = np.asarray(_get_path(new_vars["params"], "stem/conv0a/kernel"))
+    want = np.transpose(sd["layer0.0.weight"], (2, 3, 1, 0))
+    np.testing.assert_array_equal(got, want)
+    # depthwise kernel
+    got = np.asarray(_get_path(new_vars["params"], "upconv1/dw/kernel"))
+    want = np.transpose(sd["upconv1.0.weight"], (2, 3, 1, 0))
+    np.testing.assert_array_equal(got, want)
+    # batch stats landed in the right collection
+    got = np.asarray(_get_path(new_vars["batch_stats"], "layer2_0/down_bn/bn/mean"))
+    np.testing.assert_array_equal(got, sd["layer2.0.downsample.1.running_mean"])
+
+
+def test_import_skip_substrings(variables):
+    rng = np.random.default_rng(2)
+    sd = _make_torch_shaped_state_dict(variables, rng)
+    new_vars, imported, skipped = import_torch_state_dict(
+        sd, variables, skip_substrings=("conv11",)
+    )
+    assert any("conv11" in k for k in skipped)
+    # conv11 keeps its original (random init) value
+    got = np.asarray(_get_path(new_vars["params"], "ocr/conv11/kernel"))
+    orig = np.asarray(_get_path(variables["params"], "ocr/conv11/kernel"))
+    np.testing.assert_array_equal(got, orig)
+
+
+def test_forward_runs_with_imported_weights(variables):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    sd = _make_torch_shaped_state_dict(variables, rng)
+    new_vars, _, _ = import_torch_state_dict(sd, variables)
+    model = FOTSDetector(nclass=87)
+    out = model.apply(
+        {"params": new_vars["params"], "batch_stats": new_vars["batch_stats"]},
+        jnp.zeros((1, 64, 64, 3)),
+        train=False,
+    )
+    assert np.isfinite(np.asarray(out["segm"][0])).all()

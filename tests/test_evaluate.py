@@ -1,0 +1,73 @@
+"""E2E and OCR evaluation metric tests."""
+
+import numpy as np
+
+from fots.evaluate import E2EMetrics, evaluate_image
+from fots.ocr_eval import OCRMetrics, script_of
+
+
+def _det(x0, y0, x1, y1, text):
+    quad = np.array([x0, y0, x1, y0, x1, y1, x0, y1], np.float64)
+    return (quad, text)
+
+
+def test_evaluate_image_perfect_match():
+    gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
+    dets = [_det(10, 10, 100, 40, "HELLO")]
+    tp, tp_e2e, gt_e2e, tp_ed1, d2g = evaluate_image(dets, gt, ["HELLO"])
+    assert (tp, tp_e2e, gt_e2e, tp_ed1) == (1, 1, 1, 1)
+    assert d2g[0][0] == 0
+
+
+def test_evaluate_image_edit_distance_one():
+    gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
+    dets = [_det(10, 10, 100, 40, "HELLN")]
+    tp, tp_e2e, gt_e2e, tp_ed1, _ = evaluate_image(dets, gt, ["HELLO"])
+    assert (tp, tp_e2e, tp_ed1) == (1, 0, 1)
+
+
+def test_evaluate_image_short_gt_excluded():
+    gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
+    dets = [_det(10, 10, 100, 40, "AB")]
+    tp, tp_e2e, gt_e2e, _, _ = evaluate_image(dets, gt, ["AB"])
+    assert gt_e2e == 0 and tp == 0  # len < 3 ignored
+
+
+def test_evaluate_image_iou_below_threshold():
+    gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
+    dets = [_det(200, 200, 280, 240, "HELLO")]
+    tp, tp_e2e, gt_e2e, _, d2g = evaluate_image(dets, gt, ["HELLO"])
+    assert (tp, tp_e2e) == (0, 0)
+    assert d2g == {}
+
+
+def test_running_metrics_hmean():
+    m = E2EMetrics()
+    gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
+    m.add_image([_det(10, 10, 100, 40, "HELLO")], gt, ["HELLO"])
+    m.add_image([_det(10, 10, 100, 40, "WRONG")], gt, ["HELLO"])
+    s = m.summary()
+    assert s["detection_recall"] == 1.0
+    assert s["e2e_recall"] == 0.5
+    assert 0 < s["e2e_hmean"] < 1
+
+
+def test_ocr_metrics():
+    m = OCRMetrics()
+    m.add("HELLO", "HELLO")
+    m.add("HELLN", "HELLO")
+    m.add("مرحبا", "مرحبا")
+    s = m.summary()
+    assert s["accuracy"] == 2 / 3
+    assert s["edit_distance"] == 1
+    assert s["per_script"]["Latin"]["total"] == 2
+    assert s["per_script"]["Arabic"]["accuracy"] == 1.0
+    assert m.worst_cases()[0][0] == 1
+
+
+def test_script_of():
+    assert script_of("hello") == "Latin"
+    assert script_of("你好") == "CJK"
+    assert script_of("مرحبا") == "Arabic"
+    assert script_of("123") == "Digit"
+    assert script_of("!!!") == "Other"
