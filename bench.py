@@ -29,10 +29,13 @@ import numpy as np
 
 
 H, W = 704, 1280          # ICDAR2015 eval shape, /32 multiples
+BATCH = 16                # images per compiled program (serving batch);
+                          # also amortizes the remote-dispatch floor
 N_BOXES = 20              # recognition workload per image
 STRIP_W = 128
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 5
+MIXED_PRECISION = True    # bf16 backbone/recognizer, f32 geometry heads
 
 
 def _synthetic_nms_maps():
@@ -66,6 +69,8 @@ def main():
     from fots.roirotate import POOLED_HEIGHT
     from fots.codec import LabelCodec
 
+    from fots.pipeline import cast_params_bf16
+
     codec = LabelCodec()
     model = FOTSDetector(nclass=codec.num_classes)
     variables = init_detector(model, jax.random.PRNGKey(0),
@@ -74,11 +79,17 @@ def main():
     # separately on the synthetic candidate field below)
     variables["params"]["act"]["bias"] = jnp.full_like(
         variables["params"]["act"]["bias"], -4.0)
+    if MIXED_PRECISION:
+        variables = cast_params_bf16(dict(variables))
 
     @jax.jit
     def forward(variables, images):
+        if MIXED_PRECISION:
+            images = images.astype(jnp.bfloat16)
         out = model.apply(variables, images, train=False)
-        return out["segm"][0][..., 0], out["rbox"][0], out["angle"][0], out["focr"]
+        return (out["segm"][0][..., 0].astype(jnp.float32),
+                out["rbox"][0].astype(jnp.float32),
+                out["angle"][0].astype(jnp.float32), out["focr"])
 
     @jax.jit
     def recognize(variables, focr, rois):
@@ -88,36 +99,40 @@ def main():
         return jnp.argmax(logp, axis=-1)
 
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.uniform(-1, 1, (1, H, W, 3)).astype(np.float32))
-    rois_np = np.zeros((N_BOXES, 6), np.float32)
-    rois_np[:, 1] = rng.uniform(100, W - 100, N_BOXES)
-    rois_np[:, 2] = rng.uniform(100, H - 100, N_BOXES)
-    rois_np[:, 3] = rng.uniform(12, 30, N_BOXES)
-    rois_np[:, 4] = rng.uniform(60, 250, N_BOXES)
-    rois_np[:, 5] = rng.uniform(-20, 20, N_BOXES)
+    images = jnp.asarray(rng.uniform(-1, 1, (BATCH, H, W, 3)).astype(np.float32))
+    n_total = BATCH * N_BOXES
+    rois_np = np.zeros((n_total, 6), np.float32)
+    rois_np[:, 0] = np.repeat(np.arange(BATCH), N_BOXES)
+    rois_np[:, 1] = rng.uniform(100, W - 100, n_total)
+    rois_np[:, 2] = rng.uniform(100, H - 100, n_total)
+    rois_np[:, 3] = rng.uniform(12, 30, n_total)
+    rois_np[:, 4] = rng.uniform(60, 250, n_total)
+    rois_np[:, 5] = rng.uniform(-20, 20, n_total)
     rois = jnp.asarray(rois_np)
 
     nms_segm, nms_geo, nms_angle = _synthetic_nms_maps()
 
-    def one_image():
-        segm, geo, angle, focr = forward(variables, image)
-        # host side: pull tiny maps, decode + NMS (on the calibrated live
-        # maps no candidates fire; the synthetic field charges real cost)
-        _ = np.asarray(segm[0])
-        boxes = get_boxes(nms_segm, nms_geo, nms_angle, 0.5)
+    def one_batch():
+        segm, geo, angle, focr = forward(variables, images)
+        # host side: pull tiny maps, decode + NMS per image (on the
+        # calibrated live maps no candidates fire; the synthetic field
+        # charges realistic per-image NMS cost)
+        _ = np.asarray(segm)
+        boxes = [get_boxes(nms_segm, nms_geo, nms_angle, 0.5)
+                 for _ in range(BATCH)]
         ids = recognize(variables, focr, rois)
         texts = codec.decode_batch(np.asarray(ids))
         return boxes, texts
 
     for _ in range(WARMUP):
-        one_image()
+        one_batch()
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        one_image()
+        one_batch()
     dt = (time.perf_counter() - t0) / ITERS
 
-    ips = 1.0 / dt
+    ips = BATCH / dt
     print(json.dumps({
         "metric": "icdar2015_e2e_images_per_sec",
         "value": round(ips, 3),

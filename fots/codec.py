@@ -184,6 +184,44 @@ class Codec4:
         return word.strip(), (start_pos, end_pos + 1), np.asarray(dec_splits), splits
 
 
+@dataclass
+class SepLabelCodec:
+    """Separator-delimited token codec (multi-char 'alphabet' entries).
+
+    Equivalent of ``strLabelConverterForCTC`` (reference src/utils.py:113-189):
+    the alphabet is a sep-joined list of tokens; blank stays at 0 and
+    tokens map to 1..N.
+    """
+
+    alphabet_str: str
+    sep: str
+    tokens: List[str] = field(init=False, repr=False)
+    _dict: Dict[str, int] = field(init=False, repr=False)
+
+    def __post_init__(self):
+        self.tokens = self.alphabet_str.split(self.sep)
+        self._dict = {t: i + 1 for i, t in enumerate(self.tokens)}
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.tokens) + 1
+
+    def encode(self, text: str) -> Tuple[np.ndarray, np.ndarray]:
+        toks = [self._dict[t] for t in text.split(self.sep) if t in self._dict]
+        return np.asarray(toks, np.int32), np.asarray([len(toks)], np.int32)
+
+    def decode_ids(self, ids: Sequence[int], raw: bool = False) -> str:
+        if raw:
+            return "".join(self.tokens[i - 1] for i in ids
+                           if 0 < i <= len(self.tokens))
+        out, prev = [], 0
+        for i in ids:
+            if i != 0 and i != prev and 0 < i <= len(self.tokens):
+                out.append(self.tokens[i - 1])
+            prev = i
+        return "".join(out)
+
+
 def load_charset(path: str) -> str:
     """Load a one-line charset file (e.g. a codec.txt-style vocabulary)."""
     with open(path, "r", encoding="utf-8") as f:

@@ -74,14 +74,12 @@ class RecognitionHead(nn.Module):
         conv11 = conv(self.nclass, (1, 1), 1, bias=True, name="conv11")
 
         x = conv5(x)
-        x = InstanceNorm(128, affine=True, name="batch5")(x)
-        x = leaky_relu(x)
+        x = InstanceNorm(128, affine=True, fused_slope=0.01, name="batch5")(x)
         x = leaky_relu(conv6(x))
         x = leaky_relu(conv6(x))  # shared weights, applied twice
         x = max_pool(x, (2, 1), (2, 1))
         x = conv7(x)
-        x = InstanceNorm(256, affine=True, name="batch7")(x)
-        x = leaky_relu(x)
+        x = InstanceNorm(256, affine=True, fused_slope=0.01, name="batch7")(x)
         x = leaky_relu(conv8(x))
         x = leaky_relu(conv8(x))
         x = leaky_relu(conv9(x))
@@ -90,8 +88,7 @@ class RecognitionHead(nn.Module):
         # (2,3) valid conv in height, same-ish in width (reference pads w by 1)
         x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
         x = conv10(x)
-        x = InstanceNorm(256, affine=True, name="batch10_s")(x)
-        x = leaky_relu(x)
+        x = InstanceNorm(256, affine=True, fused_slope=0.01, name="batch10_s")(x)
         x = nn.Dropout(0.2, broadcast_dims=(1, 2), deterministic=not train, name="drop")(x)
         x = conv11(x)
         x = jnp.squeeze(x, axis=1)  # height collapsed to 1 -> [N, W, nclass]

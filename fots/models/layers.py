@@ -29,26 +29,27 @@ class InstanceNorm(nn.Module):
     Equivalent to torch InstanceNorm2d(eps=1e-5, track_running_stats=False)
     (reference tools/models.py:45,91,98): statistics are always computed
     from the current sample, so the layer is stateless and identical in
-    train and eval — ideal under jit.
+    train and eval — ideal under jit.  Backed by the fused op in
+    fots.ops.instance_norm (Pallas single-VMEM-pass kernel on TPU);
+    ``fused_slope`` folds a trailing leaky-relu into the same pass.
     """
 
     features: int
     affine: bool = True
     eps: float = 1e-5
+    fused_slope: Optional[float] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        from fots.ops.instance_norm import instance_norm
+
+        scale = bias = None
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y * scale + bias
-        return y.astype(orig_dtype)
+        return instance_norm(x, scale, bias, self.eps,
+                             negative_slope=self.fused_slope)
 
 
 class CReLUIN(nn.Module):
@@ -60,8 +61,8 @@ class CReLUIN(nn.Module):
     @nn.compact
     def __call__(self, x):
         cat = jnp.concatenate([x, -x], axis=-1)
-        y = InstanceNorm(self.features * 2, affine=True, name="in")(cat)
-        return leaky_relu(y)
+        return InstanceNorm(self.features * 2, affine=True, fused_slope=0.01,
+                            name="in")(cat)
 
 
 def conv(features, kernel=(3, 3), stride=1, dilation=1, bias=False, name=None,
@@ -118,8 +119,8 @@ class ConvDWIn(nn.Module):
         x = conv(self.in_features, (3, 3), self.stride, self.dilation,
                  feature_group_count=self.in_features, name="dw")(x)
         x = conv(self.out_features, (1, 1), 1, name="pw")(x)
-        x = InstanceNorm(self.out_features, affine=False, name="in")(x)
-        return leaky_relu(x)
+        return InstanceNorm(self.out_features, affine=False, fused_slope=0.01,
+                            name="in")(x)
 
 
 class ConvDWResIn(nn.Module):
@@ -134,8 +135,8 @@ class ConvDWResIn(nn.Module):
     def __call__(self, x):
         x = conv(self.in_features, (3, 3), self.stride,
                  feature_group_count=self.in_features, name="dw")(x)
-        x = InstanceNorm(self.in_features, affine=True, name="in1")(x)
-        x = leaky_relu(x)
+        x = InstanceNorm(self.in_features, affine=True, fused_slope=0.01,
+                         name="in1")(x)
         x = conv(self.out_features, (1, 1), 1, name="pw")(x)
         return InstanceNorm(self.out_features, affine=True, name="in2")(x)
 
@@ -164,8 +165,8 @@ class BasicBlockIn(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         y = conv(self.features, (3, 3), self.stride, name="conv1")(x)
-        y = InstanceNorm(self.features, affine=True, name="in1")(y)
-        y = nn.relu(y)
+        # fused_slope=0.0 == ReLU folded into the norm pass
+        y = InstanceNorm(self.features, affine=True, fused_slope=0.0, name="in1")(y)
         y = conv(self.features, (3, 3), 1, name="conv2")(y)
         y = InstanceNorm(self.features, affine=True, name="in2")(y)
         if self.stride != 1 or self.in_features != self.features:

@@ -116,7 +116,9 @@ def rroi_align(features, rois, pooled_height: int, pooled_width: int, spatial_sc
     """
     b_count, height, width, channels = features.shape
     del channels
-    rois = rois.astype(features.dtype)
+    # coordinate math stays in f32 even for bf16 features: bf16 has ~3
+    # significant digits, far too coarse for pixel coordinates
+    rois = rois.astype(jnp.float32)
     bin_cx, bin_cy, valid = _sample_centers(
         rois, pooled_height, pooled_width, spatial_scale, height, width
     )
@@ -141,10 +143,11 @@ def rroi_align(features, rois, pooled_height: int, pooled_width: int, spatial_sc
         vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (flat.shape[-1],))
         return vals * ok[..., None].astype(features.dtype)
 
-    wlt = ((1.0 - rx) * (1.0 - ry))[..., None]
-    wrt = (rx * (1.0 - ry))[..., None]
-    wrb = (rx * ry)[..., None]
-    wlb = ((1.0 - rx) * ry)[..., None]
+    wdt = features.dtype
+    wlt = ((1.0 - rx) * (1.0 - ry))[..., None].astype(wdt)
+    wrt = (rx * (1.0 - ry))[..., None].astype(wdt)
+    wrb = (rx * ry)[..., None].astype(wdt)
+    wlb = ((1.0 - rx) * ry)[..., None].astype(wdt)
 
     out = (
         fetch(y0, x0) * wlt
@@ -152,7 +155,7 @@ def rroi_align(features, rois, pooled_height: int, pooled_width: int, spatial_sc
         + fetch(y1, x1) * wrb
         + fetch(y1, x0) * wlb
     )
-    return out * valid[..., None].astype(features.dtype)
+    return out * valid[..., None].astype(wdt)
 
 
 def pooled_width_for(rois, pooled_height: int) -> int:

@@ -38,6 +38,32 @@ from fots.ops.rroi_align import rroi_align
 STRIP_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
 TARGET_H = 11  # recognition strip height at 1/4 scale (ocr_utils.py:147)
 
+# parameter subtrees kept in f32 under mixed precision: geometry/score
+# heads need sub-pixel precision and the vocab logits a stable softmax
+_KEEP_F32 = ("act", "rbox", "angle", "conv_attention")
+
+
+def cast_params_bf16(variables: Dict, keep_f32=_KEEP_F32) -> Dict:
+    """Cast backbone/recognizer params to bfloat16 for inference.
+
+    Convs with bf16 kernels compute in bf16 on the MXU (double throughput,
+    half HBM traffic); subtrees named in ``keep_f32`` stay float32 so the
+    geometry heads keep sub-pixel precision (their convs then compute in
+    f32 via dtype promotion).  InstanceNorm statistics are always computed
+    in f32 internally regardless of input dtype.
+    """
+    import jax.numpy as jnp
+
+    def cast_tree(tree, path):
+        if isinstance(tree, dict):
+            return {k: (tree[k] if k in keep_f32 else cast_tree(tree[k], path + (k,)))
+                    for k in tree}
+        return tree.astype(jnp.bfloat16) if tree.dtype == jnp.float32 else tree
+
+    out = dict(variables)
+    out["params"] = cast_tree(variables["params"], ())
+    return out
+
 
 def strip_width_for_box(w: float, h: float, target_h: int = TARGET_H) -> int:
     """Reference width rule (ocr_utils.py:148-150): scale to target height,
@@ -55,9 +81,13 @@ class FOTSInference:
     """Stateful wrapper owning compiled programs + device-resident params."""
 
     def __init__(self, model: FOTSDetector, variables, codec: Optional[LabelCodec] = None,
-                 segm_thresh: float = 0.5, iou_th1: float = 0.4, iou_th2: float = 0.2):
+                 segm_thresh: float = 0.5, iou_th1: float = 0.4, iou_th2: float = 0.2,
+                 mixed_precision: bool = False):
         self.model = model
+        if mixed_precision:
+            variables = cast_params_bf16(dict(variables))
         self.variables = variables
+        self.mixed_precision = mixed_precision
         self.codec = codec or LabelCodec()
         self.segm_thresh = segm_thresh
         self.iou_th1 = iou_th1
@@ -65,8 +95,13 @@ class FOTSInference:
 
         @jax.jit
         def _forward(variables, images):
+            if mixed_precision:
+                images = images.astype(jnp.bfloat16)
             out = model.apply(variables, images, train=False)
-            return (out["segm"][0][..., 0], out["rbox"][0], out["angle"][0], out["focr"])
+            return (out["segm"][0][..., 0].astype(jnp.float32),
+                    out["rbox"][0].astype(jnp.float32),
+                    out["angle"][0].astype(jnp.float32),
+                    out["focr"])
 
         @functools.partial(jax.jit, static_argnames=("width",))
         def _recognize(variables, focr, rois, width: int):
@@ -77,8 +112,22 @@ class FOTSInference:
             conf = jnp.max(logp, axis=-1)
             return ids, conf
 
+        @functools.partial(jax.jit, static_argnames=("width",))
+        def _recognize_from_image(variables, images, rois, width: int):
+            # reference ocr_image path (tools/ocr_utils.py:64-128): crop the
+            # raw image at target height 40, run the stem, then the CTC head
+            crops = rroi_align(images, rois, 4 * TARGET_H - 4, width, 1.0)
+            if mixed_precision:
+                crops = crops.astype(jnp.bfloat16)
+            feats = model.apply(variables, crops,
+                                method=FOTSDetector.forward_features)
+            logp = model.apply(variables, feats, train=False,
+                               method=FOTSDetector.recognize)
+            return jnp.argmax(logp, axis=-1), jnp.max(logp, axis=-1)
+
         self._forward = _forward
         self._recognize = _recognize
+        self._recognize_from_image = _recognize_from_image
 
     # -------- detection --------
 
@@ -101,11 +150,17 @@ class FOTSInference:
 
     # -------- recognition over detected boxes --------
 
-    def recognize_boxes(self, boxes: np.ndarray, focr, batch_index: int = 0) -> List[str]:
-        """Batched RoIRotate + CTC head over all boxes, bucketed by width."""
+    def recognize_boxes(self, boxes: np.ndarray, focr=None, batch_index: int = 0,
+                        images_norm=None, return_ids: bool = False):
+        """Batched RoIRotate + CTC head over all boxes, bucketed by width.
+
+        Uses the shared 1/4-scale features (align_ocr path) when ``focr``
+        is given, or crops the raw normalized image (ocr_image path,
+        reference tools/ocr_utils.py:64-128) when ``images_norm`` is given.
+        """
         n = boxes.shape[0]
         if n == 0:
-            return []
+            return ([], []) if return_ids else []
         buckets: Dict[int, List[int]] = {}
         rois = np.zeros((n, 6), np.float32)
         for i in range(n):
@@ -114,24 +169,41 @@ class FOTSInference:
             buckets.setdefault(strip_width_for_box(w, h), []).append(i)
 
         texts = [""] * n
+        ids_out: List[Optional[np.ndarray]] = [None] * n
         for width, idxs in sorted(buckets.items()):
             sel = jnp.asarray(rois[np.asarray(idxs)])
-            ids, _conf = self._recognize(self.variables, focr, sel, width)
-            decoded = self.codec.decode_batch(np.asarray(ids))
+            if images_norm is not None:
+                ids, _conf = self._recognize_from_image(
+                    self.variables, jnp.asarray(images_norm), sel, width * 4)
+            else:
+                ids, _conf = self._recognize(self.variables, focr, sel, width)
+            ids = np.asarray(ids)
+            decoded = self.codec.decode_batch(ids)
             for j, i in enumerate(idxs):
                 texts[i] = decoded[j]
-        return texts
+                ids_out[i] = ids[j]
+        return (texts, ids_out) if return_ids else texts
 
     # -------- fused end-to-end --------
 
-    def __call__(self, image_bgr: np.ndarray, scale_up: bool = False):
+    def __call__(self, image_bgr: np.ndarray, scale_up: bool = False,
+                 split_words: bool = False):
         """Full pipeline on one image.  Returns list of dicts:
-        {'box': [8 coords + score], 'text': str}."""
+        {'box': [8 coords + score], 'text': str} (plus per-word sub-boxes
+        under 'words' when split_words is set)."""
         boxes, focr, im_resized = self.detect(image_bgr, scale_up=scale_up)
-        texts = self.recognize_boxes(boxes, focr)
+        texts, ids = self.recognize_boxes(boxes, focr, return_ids=True)
         out = []
-        for b, t in zip(boxes, texts):
+        for k, (b, t) in enumerate(zip(boxes, texts)):
             if len(t) == 0:
                 continue
-            out.append({"box": b, "text": t})
+            entry = {"box": b, "text": t}
+            if split_words and ids[k] is not None:
+                from fots.wordsplit import split_detection
+
+                entry["words"] = [
+                    {"quad": q, "text": wt}
+                    for q, wt in split_detection(b, ids[k], self.codec)
+                ]
+            out.append(entry)
         return out, im_resized

@@ -83,6 +83,18 @@ static std::vector<Pt> clip_edge(const std::vector<Pt>& subject, Pt a, Pt b, dou
 }
 
 static double poly_iou(const Poly& A, const Poly& B) {
+  // exact early-out: disjoint axis-aligned bounds => IoU 0 (saves the
+  // clipping work for the vast majority of candidate pairs)
+  long long ax0 = A.x_[0], ax1 = A.x_[0], ay0 = A.y_[0], ay1 = A.y_[0];
+  long long bx0 = B.x_[0], bx1 = B.x_[0], by0 = B.y_[0], by1 = B.y_[0];
+  for (int i = 1; i < 4; i++) {
+    ax0 = std::min(ax0, A.x_[i]); ax1 = std::max(ax1, A.x_[i]);
+    ay0 = std::min(ay0, A.y_[i]); ay1 = std::max(ay1, A.y_[i]);
+    bx0 = std::min(bx0, B.x_[i]); bx1 = std::max(bx1, B.x_[i]);
+    by0 = std::min(by0, B.y_[i]); by1 = std::max(by1, B.y_[i]);
+  }
+  if (ax1 < bx0 || bx1 < ax0 || ay1 < by0 || by1 < ay0) return 0.0;
+
   std::vector<Pt> a(4), b(4);
   for (int i = 0; i < 4; i++) {
     a[i] = {double(A.x_[i]), double(A.y_[i])};
