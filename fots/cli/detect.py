@@ -56,6 +56,8 @@ def main(argv=None):
     parser.add_argument("-test_folder", default="/root/reference/data/example_image/")
     parser.add_argument("-output", default="./out")
     parser.add_argument("-scale_up", action="store_true")
+    parser.add_argument("-split_words", action="store_true",
+                        help="split multi-word lines into word boxes")
     args = parser.parse_args(argv)
 
     engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh)
@@ -66,7 +68,8 @@ def main(argv=None):
         im = cv2.imread(path)
         if im is None:
             continue
-        results, im_resized = engine(im, scale_up=args.scale_up)
+        results, im_resized = engine(im, scale_up=args.scale_up,
+                                     split_words=args.split_words)
         draw = im_resized.copy()
         lines = []
         for r in results:

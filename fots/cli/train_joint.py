@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("-n_model", type=int, default=1, help="tensor-parallel mesh size")
     parser.add_argument("-gt_rois_only", action="store_true",
                         help="skip predicted-roi sampling (early-training mode)")
+    parser.add_argument("-geo_type", type=int, default=0,
+                        help="0=edge-distance targets, 1=row/col-scan variant")
     args = parser.parse_args(argv)
 
     from fots.checkpoint import (import_torch_state_dict, load_torch_h5,
@@ -72,6 +74,7 @@ def main(argv=None):
         input_size=args.input_size,
         batch_size=args.batch_size,
         seed=args.seed,
+        geo_type=args.geo_type,
     )
     try:
         trainer.train(

@@ -24,7 +24,7 @@ import numpy as np
 from fots.data import augment as aug
 from fots.data.annotations import load_annotation, load_image_list
 from fots.data.prefetch import PrefetchPool
-from fots.geometry import generate_rbox
+from fots.geometry import generate_rbox, generate_rbox2
 
 
 @dataclass
@@ -46,8 +46,13 @@ def detection_generator(
     seed: int = 0,
     in_train: bool = True,
     allow_empty_frac: float = 0.4,
+    geo_type: int = 0,
 ) -> Iterator[DetectionBatch]:
-    """Infinite (train) or single-pass (eval) batch generator."""
+    """Infinite (train) or single-pass (eval) batch generator.
+
+    geo_type selects the target formulation like the reference's flag
+    (data_gen.py:711-714): 0 = edge distances, 1 = row/col-scan variant.
+    """
     image_list = np.asarray(load_image_list(train_list))
     rng = np.random.default_rng(seed)
     index = np.arange(image_list.shape[0])
@@ -57,7 +62,8 @@ def detection_generator(
             rng.shuffle(index)
         batch_items = []
         for i in index:
-            item = _load_one(rng, str(image_list[i]), input_size, in_train, allow_empty_frac)
+            item = _load_one(rng, str(image_list[i]), input_size, in_train,
+                             allow_empty_frac, geo_type)
             if item is None:
                 continue
             batch_items.append(item)
@@ -70,7 +76,7 @@ def detection_generator(
             return
 
 
-def _load_one(rng, im_name, input_size, in_train, allow_empty_frac):
+def _load_one(rng, im_name, input_size, in_train, allow_empty_frac, geo_type=0):
     try:
         if not os.path.exists(im_name):
             return None
@@ -111,7 +117,8 @@ def _load_one(rng, im_name, input_size, in_train, allow_empty_frac):
                 polys[:, :, 0] /= sx
                 polys[:, :, 1] /= sy
 
-        score, geo, mask, gt_idx, gt_out, labels_out = generate_rbox(
+        gen_fn = generate_rbox2 if geo_type == 1 else generate_rbox
+        score, geo, mask, gt_idx, gt_out, labels_out = gen_fn(
             im.shape[:2], polys, tags, labels
         )
         if score.sum() == 0 and not allow_empty:

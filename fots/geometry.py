@@ -214,6 +214,135 @@ def generate_rbox(
     return score_map, geo_map, training_mask, gt_idx, gt_out, labels_out
 
 
+def generate_rbox2(
+    im_shape: Tuple[int, int],
+    polys: np.ndarray,
+    tags: Sequence[bool],
+    labels: Sequence[str],
+):
+    """geo_type=1 target variant (reference data_gen.py:255-412).
+
+    Differs from :func:`generate_rbox`: height shrink /2 instead of /1.5,
+    line masking /1.5 instead of /1.2, per-pixel distances from the row /
+    column extents of the FULL polygon raster (not edge distances), edge
+    pixels (dw<0.5) masked in training_mask instead of score-zeroed, and a
+    3x3 box blur of the final score map.
+    """
+    h, w = im_shape
+    hs, ws = int(h / SCALE_FACTOR), int(w / SCALE_FACTOR)
+
+    poly_mask = np.zeros((hs, ws), dtype=np.uint8)
+    poly_full = np.zeros((hs, ws), dtype=np.uint8)
+    score_map = np.zeros((hs, ws), dtype=np.float32)
+    geo_map = np.zeros((hs, ws, 5), dtype=np.float32)
+    training_mask = np.ones((hs, ws), dtype=np.uint8)
+    gt_idx = np.full((hs, ws), -1, dtype=np.int64)
+
+    labels_out: List[str] = []
+    gt_out: List[np.ndarray] = []
+
+    polys = np.asarray(polys, dtype=np.float64).reshape(-1, 4, 2)
+    for poly_idx in range(polys.shape[0]):
+        pts_orig = polys[poly_idx]
+        txt = labels[poly_idx]
+        tag = bool(tags[poly_idx])
+        angle = poly_angle(pts_orig)
+
+        dh1 = np.linalg.norm(pts_orig[1] - pts_orig[0])
+        poly_h = int((dh1 + dh1) / 2)
+        poly_w = np.linalg.norm(pts_orig[1] - pts_orig[2])
+
+        pts = pts_orig / SCALE_FACTOR
+        pts2 = pts.copy()
+        c1 = (pts[0] + pts[1]) / 2
+        pts[0] = c1 + (pts[0] - c1) / 2
+        pts[1] = c1 + (pts[1] - c1) / 2
+        c1 = (pts[2] + pts[3]) / 2
+        pts[2] = c1 + (pts[2] - c1) / 2
+        pts[3] = c1 + (pts[3] - c1) / 2
+
+        if (
+            tag
+            or poly_h < 6
+            or poly_w < 6
+            or np.sum(pts < 0) != 0
+            or pts_orig[:, 0].max() > w
+            or pts_orig[:, 1].max() > w
+            or (poly_w < poly_h and len(txt) > 3)
+        ):
+            cv2.fillPoly(training_mask, np.asarray([pts2.round()], np.int32), 0)
+            continue
+
+        is_line = txt.find(" ") != -1
+        if is_line:
+            pts_line = pts2.copy()
+            c1 = (pts[1] + pts[2]) / 2
+            pts_line[2] = c1 + (pts[2] - c1) / 1.5
+            pts_line[1] = c1 + (pts[1] - c1) / 1.5
+            c1 = (pts[0] + pts[3]) / 2
+            pts_line[3] = c1 + (pts[3] - c1) / 1.5
+            pts_line[0] = c1 + (pts[0] - c1) / 1.5
+            cv2.fillPoly(training_mask, np.asarray([pts_line.round()], np.int32), 0)
+
+        cv2.fillPoly(poly_mask, np.asarray([pts.round()], np.int32), poly_idx + 1)
+        cv2.fillPoly(poly_full, np.asarray([pts2.round()], np.int32), poly_idx + 1)
+        ys, xs = np.nonzero(poly_mask == poly_idx + 1)
+        ysf, xsf = np.nonzero(poly_full == poly_idx + 1)
+        if ys.size:
+            overlap = score_map[ys, xs] != 0
+            training_mask[ys[overlap], xs[overlap]] = 0
+            keep = ~overlap
+            ky, kx = ys[keep], xs[keep]
+            if ky.size and ysf.size:
+                # row/col extents of the full polygon per scanline
+                min_x_of_row = np.full(hs, 1 << 30)
+                max_x_of_row = np.full(hs, -(1 << 30))
+                np.minimum.at(min_x_of_row, ysf, xsf)
+                np.maximum.at(max_x_of_row, ysf, xsf)
+                min_y_of_col = np.full(ws, 1 << 30)
+                max_y_of_col = np.full(ws, -(1 << 30))
+                np.minimum.at(min_y_of_col, xsf, ysf)
+                np.maximum.at(max_y_of_col, xsf, ysf)
+
+                d1 = ky - min_y_of_col[kx]
+                d2 = max_y_of_col[kx] - ky
+                dw1 = kx - min_x_of_row[ky]
+                dw2 = max_x_of_row[ky] - kx
+
+                left_bad = (
+                    pts_orig[0, 0] > w or pts_orig[1, 0] > w
+                    or pts_orig[0, 0] < 0 or pts_orig[1, 0] < 0
+                )
+                right_bad = (
+                    pts_orig[2, 0] > w or pts_orig[3, 0] > w
+                    or pts_orig[2, 0] < 0 or pts_orig[3, 0] < 0
+                )
+                geo_map[ky, kx, 0] = d1
+                geo_map[ky, kx, 1] = d2
+                geo_map[ky, kx, 2] = -1.0 if left_bad else dw1
+                geo_map[ky, kx, 3] = -1.0 if right_bad else dw2
+                gt_idx[ky, kx] = len(gt_out)
+
+                near_edge = (dw1 < 0.5) | (dw2 < 0.5)
+                training_mask[ky[near_edge], kx[near_edge]] = 0
+
+                if is_line:
+                    wider_left = dw1 > dw2
+                    geo_map[ky[wider_left], kx[wider_left], 2] = -1
+                    geo_map[ky[~wider_left], kx[~wider_left], 3] = -1
+
+                geo_map[ky, kx, 4] = angle
+
+        # parity: rbox2 fills with un-rounded pts (data_gen.py:405)
+        cv2.fillPoly(score_map, np.asarray([pts], np.int32), 1)
+        gt_out.append(pts_orig)
+        labels_out.append(txt)
+
+    score_map[training_mask == 0] = 0
+    score_map = cv2.blur(score_map, (3, 3))
+    return score_map, geo_map, training_mask, gt_idx, gt_out, labels_out
+
+
 def decode_quads_np(
     segm: np.ndarray,
     geo: np.ndarray,

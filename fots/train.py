@@ -233,7 +233,14 @@ class Trainer:
         for step_idx, batch in enumerate(batches):
             if step_idx >= max_steps:
                 break
-            self.step(batch)
+            try:
+                self.step(batch)
+            except Exception:
+                # reference-style resilience (train.py:85-123) but logged
+                import traceback
+
+                traceback.print_exc()
+                continue
             if step_idx % log_every == 0:
                 dt = time.time() - t0
                 msg = " ".join(f"{k}: {self.metrics[k].val():.3f}" for k in self.metrics)

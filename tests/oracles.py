@@ -219,3 +219,101 @@ def decode_quads_oracle(segm, geo, angle, segm_thresh):
             quad = np.round(quad * precision) / precision
             out.append((quad, p, np.array(probs), x, y))
     return out
+
+
+def generate_rbox2_oracle(im_shape, polys, tags, labels):
+    """Scalar transliteration of generate_rbox2 (reference
+    tools/data_gen.py:255-412)."""
+    import cv2
+
+    h, w = im_shape
+    scale_factor = 4
+    hs, ws = int(h / scale_factor), int(w / scale_factor)
+    poly_mask = np.zeros((hs, ws), dtype=np.uint8)
+    poly_full = np.zeros((hs, ws), dtype=np.uint8)
+    score_map = np.zeros((hs, ws), dtype=np.float32)
+    geo_map = np.zeros((hs, ws, 5), dtype=np.float32)
+    training_mask = np.ones((hs, ws), dtype=np.uint8)
+    gt_idx = np.full((hs, ws), -1, dtype=np.int64)
+    labels_out, gt_out = [], []
+
+    polys = np.asarray(polys, dtype=np.float64).reshape(-1, 4, 2)
+    for poly_idx in range(polys.shape[0]):
+        txt = labels[poly_idx]
+        pts_orig = polys[poly_idx]
+        tag = bool(tags[poly_idx])
+        angle = (
+            math.atan2(pts_orig[2][1] - pts_orig[1][1], pts_orig[2][0] - pts_orig[1][0])
+            + math.atan2(pts_orig[3][1] - pts_orig[0][1], pts_orig[3][0] - pts_orig[0][0])
+        ) / 2
+        dh1v = pts_orig[1] - pts_orig[0]
+        dh1 = math.sqrt(dh1v[0] ** 2 + dh1v[1] ** 2)
+        poly_h = int((dh1 + dh1) / 2)
+        dhw = pts_orig[1] - pts_orig[2]
+        poly_w = math.sqrt(dhw[0] ** 2 + dhw[1] ** 2)
+        pts = pts_orig / scale_factor
+        pts2 = np.copy(pts)
+        c1 = (pts[0] + pts[1]) / 2
+        pts[0] = c1 + (pts[0] - c1) / 2
+        pts[1] = c1 + (pts[1] - c1) / 2
+        c1 = (pts[2] + pts[3]) / 2
+        pts[2] = c1 + (pts[2] - c1) / 2
+        pts[3] = c1 + (pts[3] - c1) / 2
+        if (tag or poly_h < 6 or poly_w < 6 or np.sum(pts < 0) != 0
+                or pts_orig[:, 0].max() > w or pts_orig[:, 1].max() > w
+                or (poly_w < poly_h and len(txt) > 3)):
+            cv2.fillPoly(training_mask, np.asarray([pts2.round()], np.int32), 0)
+            continue
+        isLine = False
+        if txt.find(" ") != -1:
+            pts_line = np.copy(pts2)
+            c1 = (pts[1] + pts[2]) / 2
+            pts_line[2] = c1 + (pts[2] - c1) / 1.5
+            pts_line[1] = c1 + (pts[1] - c1) / 1.5
+            c1 = (pts[0] + pts[3]) / 2
+            pts_line[3] = c1 + (pts[3] - c1) / 1.5
+            pts_line[0] = c1 + (pts[0] - c1) / 1.5
+            cv2.fillPoly(training_mask, np.asarray([pts_line.round()], np.int32), 0)
+            isLine = True
+        cv2.fillPoly(poly_mask, np.asarray([pts.round()], np.int32), poly_idx + 1)
+        cv2.fillPoly(poly_full, np.asarray([pts2.round()], np.int32), poly_idx + 1)
+        xy_in_poly = np.argwhere(poly_mask == (poly_idx + 1))
+        xy_in_polyf = np.argwhere(poly_full == (poly_idx + 1))
+        for y, x in xy_in_poly:
+            point = np.array([x, y], dtype=np.float32)
+            if score_map[y, x] != 0:
+                training_mask[y, x] = 0
+                continue
+            same_y = xy_in_polyf[xy_in_polyf[:, 0] == point[1]]
+            min_x = same_y[:, 1].min()
+            max_x = same_y[:, 1].max()
+            same_x = xy_in_polyf[xy_in_polyf[:, 1] == point[0]]
+            min_y = same_x[:, 0].min()
+            max_y = same_x[:, 0].max()
+            d1 = point[1] - min_y
+            d2 = max_y - point[1]
+            dw1 = point[0] - min_x
+            dw2 = max_x - point[0]
+            geo_map[y, x, 0] = d1
+            geo_map[y, x, 1] = d2
+            geo_map[y, x, 2] = dw1
+            if pts_orig[0, 0] > w or pts_orig[1, 0] > w or pts_orig[0, 0] < 0 or pts_orig[1, 0] < 0:
+                geo_map[y, x, 2] = -1
+            geo_map[y, x, 3] = dw2
+            if pts_orig[2, 0] > w or pts_orig[3, 0] > w or pts_orig[2, 0] < 0 or pts_orig[3, 0] < 0:
+                geo_map[y, x, 3] = -1
+            gt_idx[y, x] = len(gt_out)
+            if dw1 < 0.5 or dw2 < 0.5:
+                training_mask[y, x] = 0
+            if isLine:
+                if dw1 > dw2:
+                    geo_map[y, x, 2] = -1
+                else:
+                    geo_map[y, x, 3] = -1
+            geo_map[y, x, 4] = angle
+        cv2.fillPoly(score_map, np.asarray([pts], np.int32), 1)
+        gt_out.append(pts_orig)
+        labels_out.append(txt)
+    score_map[training_mask == 0] = 0
+    score_map = cv2.blur(score_map, (3, 3))
+    return score_map, geo_map, training_mask, gt_idx, gt_out, labels_out

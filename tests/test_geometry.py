@@ -88,3 +88,30 @@ def test_resize_multiple_of_32(rng):
     scaled, (rh, rw) = resize_to_multiple_of_32(im, scale_up=True)
     assert rh % 32 == 0 and rw % 32 == 0
     assert rh * rw <= 1585152
+
+
+def test_generate_rbox2_matches_oracle():
+    from fots.geometry import generate_rbox2
+    from tests.oracles import generate_rbox2_oracle
+
+    polys, tags, labels = _sample_polys()
+    shape = (512, 512)
+    got = generate_rbox2(shape, polys, tags, labels)
+    want = generate_rbox2_oracle(shape, polys, tags, labels)
+    np.testing.assert_allclose(got[0], want[0], atol=1e-4)   # blurred score
+    np.testing.assert_allclose(got[1], want[1], atol=1e-4)   # geo
+    np.testing.assert_array_equal(got[2], want[2])           # mask
+    np.testing.assert_array_equal(got[3], want[3])           # gt_idx
+    assert got[5] == want[5]
+
+
+def test_generate_rbox2_line_case():
+    from fots.geometry import generate_rbox2
+    from tests.oracles import generate_rbox2_oracle
+
+    polys = np.array([[[40, 40], [40, 80], [400, 80], [400, 40]]], np.float64)
+    got = generate_rbox2((512, 512), polys, [False], ["TWO WORDS"])
+    want = generate_rbox2_oracle((512, 512), polys, [False], ["TWO WORDS"])
+    np.testing.assert_allclose(got[0], want[0], atol=1e-4)
+    np.testing.assert_allclose(got[1], want[1], atol=1e-4)
+    np.testing.assert_array_equal(got[2], want[2])
