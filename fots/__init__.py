@@ -17,4 +17,19 @@ for TPU hardware:
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(path: str = "/root/.cache/fots_jax_cache"):
+    """Persist compiled XLA programs across processes (huge win where
+    compilation is remote/slow).  Safe to call multiple times."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+enable_compilation_cache()
+
 from fots.codec import ICDAR15_ALPHABET, LabelCodec  # noqa: F401

@@ -98,10 +98,14 @@ class FOTSInference:
             if mixed_precision:
                 images = images.astype(jnp.bfloat16)
             out = model.apply(variables, images, train=False)
-            return (out["segm"][0][..., 0].astype(jnp.float32),
-                    out["rbox"][0].astype(jnp.float32),
-                    out["angle"][0].astype(jnp.float32),
-                    out["focr"])
+            # pack all head maps channel-FIRST into one tensor: the last
+            # (lane) dim must be the wide W axis — a [B,H,W,4] layout pads
+            # 4 -> 128 lanes on TPU and device->host transfers ship the
+            # padded buffer (32x blowup over slow links)
+            maps = jnp.concatenate(
+                [out["segm"][0], out["rbox"][0], out["angle"][0]], axis=-1)
+            maps = jnp.transpose(maps, (0, 3, 1, 2)).astype(jnp.float32)
+            return maps, out["focr"]
 
         @functools.partial(jax.jit, static_argnames=("width",))
         def _recognize(variables, focr, rois, width: int):
@@ -132,8 +136,17 @@ class FOTSInference:
     # -------- detection --------
 
     def detect_maps(self, images_norm: np.ndarray):
-        """Run the detector; images_norm: [B,H,W,3] already (x/128-1)."""
-        segm, rbox, angle, focr = self._forward(self.variables, jnp.asarray(images_norm))
+        """Run the detector; images_norm: [B,H,W,3] already (x/128-1).
+
+        Returns (segm [B,Hs,Ws], rbox [B,Hs,Ws,4], angle [B,Hs,Ws,2], focr)
+        with the maps as host numpy (one packed transfer) and focr left on
+        device.
+        """
+        maps_dev, focr = self._forward(self.variables, jnp.asarray(images_norm))
+        maps = np.asarray(maps_dev)  # [B, 7, Hs, Ws] — single d2h transfer
+        segm = maps[:, 0]
+        rbox = np.moveaxis(maps[:, 1:5], 1, -1)
+        angle = np.moveaxis(maps[:, 5:7], 1, -1)
         return segm, rbox, angle, focr
 
     def detect(self, image_bgr: np.ndarray, scale_up: bool = False):
@@ -143,7 +156,7 @@ class FOTSInference:
         images = im_resized[None].astype(np.float32) / 128.0 - 1.0
         segm, rbox, angle, focr = self.detect_maps(images)
         boxes = get_boxes(
-            np.asarray(segm[0]), np.asarray(rbox[0]), np.asarray(angle[0]),
+            segm[0], rbox[0], angle[0],
             self.segm_thresh, self.iou_th1, self.iou_th2,
         )
         return boxes, focr, im_resized

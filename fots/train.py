@@ -116,14 +116,21 @@ def make_train_step(model: FOTSDetector, multi_scale: bool = True):
         new_state = state.apply_gradients(
             grads=grads, batch_stats=aux.pop("batch_stats"), rng=new_rng
         )
-        maps = {
-            "segm": jax.lax.stop_gradient(aux.pop("segm_pred")),
-            "geo": jax.lax.stop_gradient(aux.pop("geo_pred")),
-            "angle": jax.lax.stop_gradient(aux.pop("angle_pred")),
-        }
-        return new_state, aux, maps
+        # pack prediction maps channel-first ([B,7,hs,ws]): keeps the wide
+        # W axis on the TPU lane dim so the device->host pull for roi
+        # sampling ships unpadded bytes
+        maps = jnp.concatenate(
+            [aux.pop("segm_pred")[..., None], aux.pop("geo_pred"),
+             aux.pop("angle_pred")], axis=-1)
+        maps = jax.lax.stop_gradient(jnp.transpose(maps, (0, 3, 1, 2)))
+        # pack scalar metrics into ONE small array (one transfer, not five)
+        metric_vec = jnp.stack([aux["loss"], aux["segm_loss"], aux["angle_loss"],
+                                aux["iou_loss"], aux["ctc_loss"]])
+        return new_state, metric_vec, maps
 
     return train_step
+
+METRIC_KEYS = ("loss", "segm_loss", "angle_loss", "iou_loss", "ctc_loss")
 
 
 @dataclass
@@ -199,30 +206,38 @@ class Trainer:
     def step(self, batch) -> Dict[str, float]:
         """One training step from a host DetectionBatch."""
         roi_batch = self._build_roi_batch(batch)
-        dev = {
-            "images": jax.device_put(batch.images, batch_sharding(self.mesh)),
-            "score_maps": jax.device_put(batch.score_maps.astype(np.float32),
-                                         batch_sharding(self.mesh)),
-            "training_masks": jax.device_put(batch.training_masks.astype(np.float32),
-                                             batch_sharding(self.mesh)),
-            "geo_maps": jax.device_put(batch.geo_maps[..., :4].astype(np.float32),
-                                       batch_sharding(self.mesh)),
-            "angle_gt": jax.device_put(batch.geo_maps[..., 4].astype(np.float32),
-                                       batch_sharding(self.mesh)),
-            "rois": jax.device_put(roi_batch.rois, replicate(self.mesh)),
-            "labels": jax.device_put(roi_batch.labels, replicate(self.mesh)),
-            "label_lengths": jax.device_put(roi_batch.label_lengths, replicate(self.mesh)),
-            "roi_mask": jax.device_put(roi_batch.roi_mask, replicate(self.mesh)),
+        host = {
+            "images": batch.images,
+            "score_maps": batch.score_maps.astype(np.float32),
+            "training_masks": batch.training_masks.astype(np.float32),
+            "geo_maps": np.ascontiguousarray(batch.geo_maps[..., :4], np.float32),
+            "angle_gt": np.ascontiguousarray(batch.geo_maps[..., 4], np.float32),
+            "rois": roi_batch.rois,
+            "labels": roi_batch.labels,
+            "label_lengths": roi_batch.label_lengths,
+            "roi_mask": roi_batch.roi_mask,
         }
-        self.state, aux, maps = self._step_fn(self.state, dev, roi_batch.strip_width)
-        # pull tiny maps for next step's roi sampling (pipelined, off the
-        # critical path of the device step)
-        self._prev_maps = {k: np.asarray(v) for k, v in maps.items()}
+        bs = batch_sharding(self.mesh)
+        rep = replicate(self.mesh)
+        shardings = {k: (bs if k in ("images", "score_maps", "training_masks",
+                                     "geo_maps", "angle_gt") else rep)
+                     for k in host}
+        # one transfer call for the whole batch pytree
+        dev = jax.device_put(host, shardings)
+        self.state, metric_vec, maps = self._step_fn(self.state, dev,
+                                                     roi_batch.strip_width)
+        # pull tiny packed maps for next step's roi sampling (single d2h)
+        m = np.asarray(maps)  # [B, 7, hs, ws]
+        self._prev_maps = {
+            "segm": m[:, 0],
+            "geo": np.moveaxis(m[:, 1:5], 1, -1),
+            "angle": np.moveaxis(m[:, 5:7], 1, -1),
+        }
+        vals = np.asarray(metric_vec)  # one transfer for all scalars
         out = {}
-        for k, avg in self.metrics.items():
-            v = float(aux[k])
-            avg.add(v)
-            out[k] = v
+        for k, v in zip(METRIC_KEYS, vals):
+            self.metrics[k].add(float(v))
+            out[k] = float(v)
         return out
 
     def train(self, batches, max_steps: int, log_every: int = 5,

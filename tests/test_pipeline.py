@@ -50,3 +50,32 @@ def test_recognize_boxes_bucketing(engine):
     focr = engine.detect_maps(np.zeros((1, 96, 128, 3), np.float32))[3]
     texts = engine.recognize_boxes(boxes, focr)
     assert len(texts) == 2
+
+
+def test_pipeline_mixed_precision(rng):
+    import jax
+
+    from fots.models import FOTSDetector
+    from fots.models.detector import init_detector
+    from fots.pipeline import FOTSInference, cast_params_bf16
+
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    eng = FOTSInference(model, variables, mixed_precision=True)
+    im = (rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)
+    results, _ = eng(im)
+    assert isinstance(results, list)
+    # geometry heads stayed f32
+    cast = cast_params_bf16(dict(variables))
+    import jax.numpy as jnp
+    assert cast["params"]["act"]["kernel"].dtype == jnp.float32
+    assert cast["params"]["stem"]["conv0a"]["kernel"].dtype == jnp.bfloat16
+
+
+def test_pipeline_split_words(engine, rng):
+    im = (rng.uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+    results, _ = engine(im, split_words=True)
+    for r in results:
+        assert "words" in r
+        for wd in r["words"]:
+            assert wd["quad"].shape == (4, 2)
