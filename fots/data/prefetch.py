@@ -15,11 +15,18 @@ import queue as queue_mod
 from typing import Callable, Iterator, Optional
 
 
-def _worker(factory: Callable[[int], Iterator], worker_id: int, q, stop_event):
+def _worker(factory: Callable[[int], Iterator], worker_id: int, q, stop_event,
+            parent_pid: int):
+    import os
+
     try:
         gen = factory(worker_id)
         for item in gen:
             if stop_event.is_set():
+                return
+            # orphan watchdog: if the parent was SIGKILLed, daemon cleanup
+            # never ran — exit instead of spinning forever
+            if os.getppid() != parent_pid:
                 return
             q.put(item)
     except KeyboardInterrupt:
@@ -43,10 +50,13 @@ class PrefetchPool:
         self._ctx = mp.get_context(ctx)
         self._queue = self._ctx.Queue(maxsize=max_queue)
         self._stop = self._ctx.Event()
+        import os
+
         self._procs = []
         for wid in range(num_workers):
             p = self._ctx.Process(
-                target=_worker, args=(generator_factory, wid, self._queue, self._stop),
+                target=_worker,
+                args=(generator_factory, wid, self._queue, self._stop, os.getpid()),
                 daemon=True,
             )
             p.start()

@@ -138,7 +138,9 @@ class FOTSDetector(nn.Module):
         segm = nn.sigmoid(self.act_head(x))
         rbox = nn.sigmoid(self.rbox_head(x)) * 128.0
         angle = nn.sigmoid(self.angle_head(x)) * 2.0 - 1.0
-        den = jnp.sqrt(jnp.sum(angle * angle, axis=-1, keepdims=True))
+        # eps guards the 0/0 at exactly-zero activations (the reference
+        # divides unguarded, models.py:453-455)
+        den = jnp.sqrt(jnp.sum(angle * angle, axis=-1, keepdims=True) + 1e-12)
         angle = angle / den
         return segm, rbox, angle
 

@@ -197,6 +197,74 @@ class FOTSInference:
                 ids_out[i] = ids[j]
         return (texts, ids_out) if return_ids else texts
 
+    # -------- batched serving --------
+
+    def batch_call(self, images_bgr: List[np.ndarray], serve_hw: Tuple[int, int] = (704, 1280),
+                   split_words: bool = False):
+        """Fixed-shape batched serving: letterbox all images to ``serve_hw``
+        (one compiled program regardless of input sizes), detect, then run
+        recognition for ALL images' boxes together in shared width buckets.
+
+        Returns a list (per image) of result lists like :meth:`__call__`,
+        with boxes mapped back to each original image's coordinates.
+        """
+        import cv2
+
+        H, W = serve_hw
+        n = len(images_bgr)
+        batch = np.zeros((n, H, W, 3), np.float32)
+        scales = []
+        for i, im in enumerate(images_bgr):
+            s = min(H / im.shape[0], W / im.shape[1])
+            nh, nw = int(im.shape[0] * s), int(im.shape[1] * s)
+            batch[i, :nh, :nw] = cv2.resize(im, (nw, nh)).astype(np.float32)
+            scales.append(s)
+        batch = batch / 128.0 - 1.0
+
+        segm, rbox, angle, focr = self.detect_maps(batch)
+        per_image_boxes = []
+        all_rois = []
+        all_keys = []  # (image_idx, box_idx)
+        buckets: Dict[int, List[int]] = {}
+        for i in range(n):
+            boxes = get_boxes(segm[i], rbox[i], angle[i], self.segm_thresh,
+                              self.iou_th1, self.iou_th2)
+            per_image_boxes.append(boxes)
+            for j in range(boxes.shape[0]):
+                roi, w, h = rroi_from_box(boxes[j], i)
+                buckets.setdefault(strip_width_for_box(w, h), []).append(len(all_rois))
+                all_rois.append(roi)
+                all_keys.append((i, j))
+        texts = [""] * len(all_rois)
+        ids_out = [None] * len(all_rois)
+        if all_rois:
+            rois_arr = np.asarray(all_rois, np.float32)
+            for width, idxs in sorted(buckets.items()):
+                sel = jnp.asarray(rois_arr[np.asarray(idxs)])
+                ids, _ = self._recognize(self.variables, focr, sel, width)
+                ids = np.asarray(ids)
+                dec = self.codec.decode_batch(ids)
+                for k, ridx in enumerate(idxs):
+                    texts[ridx] = dec[k]
+                    ids_out[ridx] = ids[k]
+
+        results = [[] for _ in range(n)]
+        for ridx, (i, j) in enumerate(all_keys):
+            t = texts[ridx]
+            if not t:
+                continue
+            b = per_image_boxes[i][j].copy()
+            b[:8] /= scales[i]  # back to original image coords
+            entry = {"box": b, "text": t}
+            if split_words and ids_out[ridx] is not None:
+                from fots.wordsplit import split_detection
+
+                entry["words"] = [{"quad": q / scales[i], "text": wt}
+                                  for q, wt in split_detection(
+                                      per_image_boxes[i][j], ids_out[ridx], self.codec)]
+            results[i].append(entry)
+        return results
+
     # -------- fused end-to-end --------
 
     def __call__(self, image_bgr: np.ndarray, scale_up: bool = False,

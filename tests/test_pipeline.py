@@ -79,3 +79,16 @@ def test_pipeline_split_words(engine, rng):
         assert "words" in r
         for wd in r["words"]:
             assert wd["quad"].shape == (4, 2)
+
+
+def test_batch_call_serving(engine, rng):
+    ims = [(rng.uniform(0, 255, (70, 100, 3))).astype(np.uint8),
+           (rng.uniform(0, 255, (120, 80, 3))).astype(np.uint8)]
+    results = engine.batch_call(ims, serve_hw=(96, 128))
+    assert len(results) == 2
+    for i, res in enumerate(results):
+        for r in res:
+            # random weights can hallucinate boxes anywhere (incl. the
+            # letterbox padding); just require finite, rescaled output
+            assert np.isfinite(r["box"][:8]).all()
+            assert isinstance(r["text"], str)
