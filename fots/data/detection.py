@@ -93,7 +93,6 @@ def _load_one(rng, im_name, input_size, in_train, allow_empty_frac, geo_type=0):
                 im, polys = aug.random_shear(rng, im, polys)
             im, polys = aug.random_scale(rng, im, polys)
             im = aug.random_invert(rng, im)
-            im = aug.color_jitter(rng, im)
 
         resize_h = resize_w = input_size
         if input_size == -1:
@@ -116,6 +115,11 @@ def _load_one(rng, im_name, input_size, in_train, allow_empty_frac, geo_type=0):
             if len(polys) > 0:
                 polys[:, :, 0] /= sx
                 polys[:, :, 1] /= sy
+
+        if in_train:
+            # jitter AFTER the crop like the reference (data_gen.py:703-710)
+            # — also ~100x cheaper than jittering the full padded image
+            im = aug.color_jitter(rng, im)
 
         gen_fn = generate_rbox2 if geo_type == 1 else generate_rbox
         score, geo, mask, gt_idx, gt_out, labels_out = gen_fn(

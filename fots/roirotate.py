@@ -36,6 +36,11 @@ MAX_ROIS = 32
 MAX_LABEL_LEN = 64
 POOLED_HEIGHT = 11  # reference ocr_process.py:260
 
+# coarse bucket grid for TRAINING strips: every distinct width compiles a
+# separate train-step program, so keep the set tiny (inference uses the
+# finer STRIP_BUCKETS grid)
+TRAIN_STRIP_BUCKETS = (64, 128, 256, 512)
+
 
 @dataclass
 class RoiBatch:
@@ -188,9 +193,10 @@ def sample_rois(
         rois_arr[:n] = np.asarray(rrois, np.float32)
         mask[:n] = 1.0
         ratio = (rois_arr[:n, 4] / np.maximum(rois_arr[:n, 3], 1e-6)).max()
-        width = width_bucket(int(math.ceil(POOLED_HEIGHT * float(ratio))))
+        width = width_bucket(int(math.ceil(POOLED_HEIGHT * float(ratio))),
+                             buckets=TRAIN_STRIP_BUCKETS)
     else:
-        width = width_bucket(POOLED_HEIGHT)
+        width = width_bucket(POOLED_HEIGHT, buckets=TRAIN_STRIP_BUCKETS)
     # padding slots get a harmless dummy roi (masked out downstream)
     rois_arr[n:] = [0, 8.0, 8.0, 8.0, 8.0, 0.0]
 

@@ -199,6 +199,7 @@ def build_gt_crop_batch(gt_quads, labels, codec: LabelCodec, im_hw,
 
     from fots.geometry import quads_to_rrois
     from fots.ops.rroi_align import width_bucket
+    from fots.roirotate import TRAIN_STRIP_BUCKETS
 
     H, W = im_hw
     rois_list, texts = [], []
@@ -225,9 +226,10 @@ def build_gt_crop_batch(gt_quads, labels, codec: LabelCodec, im_hw,
         rois[:n] = np.asarray(rois_list[:n], np.float32)
         mask[:n] = 1.0
         ratio = (rois[:n, 4] / np.maximum(rois[:n, 3], 1e-6)).max()
-        width = width_bucket(int(math.ceil(pooled_height * float(ratio))))
+        width = width_bucket(int(math.ceil(pooled_height * float(ratio))),
+                             buckets=TRAIN_STRIP_BUCKETS)
     else:
-        width = width_bucket(pooled_height)
+        width = width_bucket(pooled_height, buckets=TRAIN_STRIP_BUCKETS)
     rois[n:] = [0, 8.0, 8.0, 8.0, 8.0, 0.0]
     labels_mat, lengths = codec.encode_padded(texts[:n] + [""] * (max_rois - n),
                                               max_label)
