@@ -98,15 +98,23 @@ class LabelCodec:
         return "".join(chars)
 
     def decode_batch(self, ids: np.ndarray, lengths: np.ndarray | None = None) -> List[str]:
-        """Decode a ``[N, T]`` id matrix (greedy CTC output) to strings."""
+        """Decode a ``[N, T]`` id matrix (greedy CTC output) to strings.
+
+        Vectorized CTC collapse: the keep mask (non-blank, differs from the
+        raw previous id, in-alphabet) is computed for the whole matrix at
+        once; identical output to per-row :meth:`decode_ids`.
+        """
         ids = np.asarray(ids)
-        out = []
-        for n in range(ids.shape[0]):
-            seq = ids[n]
-            if lengths is not None:
-                seq = seq[: int(lengths[n])]
-            out.append(self.decode_ids(seq.tolist()))
-        return out
+        if ids.size == 0:
+            return [""] * ids.shape[0] if ids.ndim == 2 else []
+        N, T = ids.shape
+        valid = np.ones((N, T), bool)
+        if lengths is not None:
+            valid = np.arange(T)[None, :] < np.asarray(lengths).reshape(N, 1)
+        prev = np.concatenate([np.zeros((N, 1), ids.dtype), ids[:, :-1]], axis=1)
+        keep = valid & (ids != prev) & (ids > 0) & (ids <= len(self.alphabet))
+        lut = np.array(list(self.alphabet) or [""])
+        return ["".join(lut[row[k] - 1]) for row, k in zip(ids, keep)]
 
 
 @dataclass

@@ -360,9 +360,25 @@ def decode_quads_np(
     order, with coordinates rounded to 1e-4 fixed point.
     """
     ys, xs = np.nonzero(segm > segm_thresh)
-    r = geo[ys, xs]          # [N,4]
-    a_sin = angle[ys, xs, 0]
-    a_cos = angle[ys, xs, 1]
+    quads, probs = decode_candidates_np(
+        geo[ys, xs], angle[ys, xs, 0], angle[ys, xs, 1], xs, ys,
+        scale_factor, precision)
+    scores = segm[ys, xs]
+    return quads, scores, probs, xs, ys
+
+
+def decode_candidates_np(
+    r: np.ndarray,       # [N,4] distances (top,bottom,left,right)
+    a_sin: np.ndarray,   # [N]
+    a_cos: np.ndarray,   # [N]
+    xs: np.ndarray,
+    ys: np.ndarray,
+    scale_factor: float = 4.0,
+    precision: float = 10000.0,
+):
+    """Quad decode for already-gathered candidate pixels (the core of
+    :func:`decode_quads_np`; same math as reference nms/adaptor.cpp:70-113).
+    Returns (quads [N,4,2], corner_probs [N,4])."""
     xp = xs + 0.25
     yp = ys + 0.25
 
@@ -389,9 +405,7 @@ def decode_quads_np(
     p_right = np.exp(-r[:, 3] / ph)
     p_bt = np.exp(-r[:, 1] / ph)
     probs = np.stack([p_left * p_bt, p_left * p_top, p_right * p_top, p_right * p_bt], -1)
-
-    scores = segm[ys, xs]
-    return quads, scores, probs, xs, ys
+    return quads, probs
 
 
 def resize_to_multiple_of_32(

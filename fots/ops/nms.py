@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from fots.geometry import decode_quads_np
+from fots.geometry import decode_candidates_np, decode_quads_np
 
 PRECISION = 10000.0
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -261,6 +261,64 @@ def locality_aware_nms(quads, scores, probs, xs, ys, map_w, map_h,
         ret[i, :8] = (p.q.astype(np.float64) / PRECISION).reshape(8)
         ret[i, 8] = p.score
     return ret
+
+
+def extract_candidates(segm, geo, angle, k: int, segm_thresh: float = 0.5):
+    """Device-side NMS candidate extraction (jittable).
+
+    The reference ships the full score/geo/angle maps to the host and scans
+    them pixel-by-pixel (nms/adaptor.cpp:40-69).  Over a slow host link the
+    map transfer dominates end-to-end latency, so instead we keep the maps
+    on device and extract only the top-``k`` above-threshold pixels with
+    their geometry — a ~50x smaller transfer at serving shapes.
+
+    segm [B,Hs,Ws], geo [B,Hs,Ws,4], angle [B,Hs,Ws,2] (sin,cos) ->
+    packed [B, 8, k] float32, channels ``(score, d0..d3, sin, cos,
+    flat_idx)``.  Channel-FIRST on purpose: k must be the minor (lane)
+    dim on TPU — a [B,k,8] layout pads 8 -> 128 lanes and the host link
+    ships the padded buffer (16x blowup).  Slots with score <=
+    ``segm_thresh`` are masked to score -1 (the host filters them).
+    Exact vs the dense path whenever the image has <= k candidate pixels
+    (flat_idx < Hs*Ws << 2^24 is exact in f32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W = segm.shape
+    k = min(k, H * W)
+    flat = segm.reshape(B, H * W)
+    masked = jnp.where(flat > segm_thresh, flat, -1.0)
+    scores, idx = jax.lax.top_k(masked, k)                      # [B,k]
+    g = jnp.take_along_axis(geo.reshape(B, H * W, 4), idx[..., None], axis=1)
+    a = jnp.take_along_axis(angle.reshape(B, H * W, 2), idx[..., None], axis=1)
+    packed = jnp.concatenate(
+        [scores[..., None], g, a, idx[..., None].astype(jnp.float32)],
+        axis=-1).astype(jnp.float32)
+    return jnp.transpose(packed, (0, 2, 1))                     # [B,8,k]
+
+
+def get_boxes_from_candidates(cands, map_h: int, map_w: int,
+                              segm_thresh=0.5, iou_th1=0.4, iou_th2=0.2):
+    """Host-side decode + merge from one image's packed candidates
+    (``extract_candidates`` output slice ``[8, k]``).
+
+    Restores the reference's row-major scan order before the locality-aware
+    merge, so results match :func:`get_boxes` exactly when all candidates
+    fit in k.
+    """
+    c = np.asarray(cands).T  # [k, 8] rows
+    c = c[c[:, 0] > segm_thresh]
+    if c.shape[0] == 0:
+        return np.zeros((0, 9), np.float32)
+    idx = c[:, 7].astype(np.int64)
+    order = np.argsort(idx, kind="stable")  # top_k is score-sorted; re-sort row-major
+    c = c[order]
+    idx = idx[order]
+    ys = idx // map_w
+    xs = idx % map_w
+    quads, probs = decode_candidates_np(c[:, 1:5], c[:, 5], c[:, 6], xs, ys)
+    return locality_aware_nms(quads, c[:, 0], probs, xs, ys, map_w, map_h,
+                              iou_th1, iou_th2)
 
 
 def get_boxes(segm, geo, angle, segm_thresh=0.5, iou_th1=0.4, iou_th2=0.2):

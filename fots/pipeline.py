@@ -30,7 +30,7 @@ import numpy as np
 from fots.codec import LabelCodec
 from fots.geometry import resize_to_multiple_of_32, rroi_from_box
 from fots.models import FOTSDetector
-from fots.ops.nms import get_boxes
+from fots.ops.nms import extract_candidates, get_boxes_from_candidates
 from fots.ops.rroi_align import rroi_align
 
 # /32-multiple strip-width buckets (reference computes an exact /32 width
@@ -82,7 +82,7 @@ class FOTSInference:
 
     def __init__(self, model: FOTSDetector, variables, codec: Optional[LabelCodec] = None,
                  segm_thresh: float = 0.5, iou_th1: float = 0.4, iou_th2: float = 0.2,
-                 mixed_precision: bool = False):
+                 mixed_precision: bool = False, max_candidates: int = 8192):
         self.model = model
         if mixed_precision:
             variables = cast_params_bf16(dict(variables))
@@ -92,6 +92,9 @@ class FOTSInference:
         self.segm_thresh = segm_thresh
         self.iou_th1 = iou_th1
         self.iou_th2 = iou_th2
+        # NMS candidates extracted on device per image; exact vs the dense
+        # path while the count of score>thresh pixels stays under this cap
+        self.max_candidates = max_candidates
 
         @jax.jit
         def _forward(variables, images):
@@ -106,6 +109,21 @@ class FOTSInference:
                 [out["segm"][0], out["rbox"][0], out["angle"][0]], axis=-1)
             maps = jnp.transpose(maps, (0, 3, 1, 2)).astype(jnp.float32)
             return maps, out["focr"]
+
+        @jax.jit
+        def _forward_sparse(variables, images):
+            """Forward + on-device NMS candidate extraction: ships only the
+            top-k above-threshold pixels (fots/ops/nms.py:extract_candidates)
+            instead of full head maps — the host link is the e2e bottleneck."""
+            if mixed_precision:
+                images = images.astype(jnp.bfloat16)
+            out = model.apply(variables, images, train=False)
+            cands = extract_candidates(
+                out["segm"][0][..., 0].astype(jnp.float32),
+                out["rbox"][0].astype(jnp.float32),
+                out["angle"][0].astype(jnp.float32),
+                self.max_candidates, segm_thresh)
+            return cands, out["focr"]
 
         @functools.partial(jax.jit, static_argnames=("width",))
         def _recognize(variables, focr, rois, width: int):
@@ -130,6 +148,7 @@ class FOTSInference:
             return jnp.argmax(logp, axis=-1), jnp.max(logp, axis=-1)
 
         self._forward = _forward
+        self._forward_sparse = _forward_sparse
         self._recognize = _recognize
         self._recognize_from_image = _recognize_from_image
 
@@ -149,17 +168,24 @@ class FOTSInference:
         angle = np.moveaxis(maps[:, 5:7], 1, -1)
         return segm, rbox, angle, focr
 
+    def detect_boxes_batch(self, images_norm: np.ndarray):
+        """Sparse detection path: device top-k candidate extraction, then
+        per-image host NMS.  Returns (list of boxes [Ni,9], focr)."""
+        hs, ws = images_norm.shape[1] // 4, images_norm.shape[2] // 4
+        cands_dev, focr = self._forward_sparse(self.variables, jnp.asarray(images_norm))
+        cands = np.asarray(cands_dev)  # [B, k, 8] — the only map-side transfer
+        boxes = [get_boxes_from_candidates(c, hs, ws, self.segm_thresh,
+                                           self.iou_th1, self.iou_th2)
+                 for c in cands]
+        return boxes, focr
+
     def detect(self, image_bgr: np.ndarray, scale_up: bool = False):
         """Detect text boxes in one raw BGR image.  Returns (boxes [N,9] in
         resized-image pixels, focr device array, resized shape)."""
         im_resized, _ = resize_to_multiple_of_32(image_bgr, scale_up=scale_up)
         images = im_resized[None].astype(np.float32) / 128.0 - 1.0
-        segm, rbox, angle, focr = self.detect_maps(images)
-        boxes = get_boxes(
-            segm[0], rbox[0], angle[0],
-            self.segm_thresh, self.iou_th1, self.iou_th2,
-        )
-        return boxes, focr, im_resized
+        boxes, focr = self.detect_boxes_batch(images)
+        return boxes[0], focr, im_resized
 
     # -------- recognition over detected boxes --------
 
@@ -221,15 +247,12 @@ class FOTSInference:
             scales.append(s)
         batch = batch / 128.0 - 1.0
 
-        segm, rbox, angle, focr = self.detect_maps(batch)
-        per_image_boxes = []
+        per_image_boxes, focr = self.detect_boxes_batch(batch)
         all_rois = []
         all_keys = []  # (image_idx, box_idx)
         buckets: Dict[int, List[int]] = {}
         for i in range(n):
-            boxes = get_boxes(segm[i], rbox[i], angle[i], self.segm_thresh,
-                              self.iou_th1, self.iou_th2)
-            per_image_boxes.append(boxes)
+            boxes = per_image_boxes[i]
             for j in range(boxes.shape[0]):
                 roi, w, h = rroi_from_box(boxes[j], i)
                 buckets.setdefault(strip_width_for_box(w, h), []).append(len(all_rois))

@@ -74,3 +74,20 @@ def test_build_charset_and_levenshtein():
     assert levenshtein("kitten", "sitting") == 3
     assert levenshtein("", "abc") == 3
     assert levenshtein("same", "same") == 0
+
+
+def test_decode_batch_matches_decode_ids(rng):
+    """Vectorized decode_batch == per-row decode_ids on random id matrices,
+    with and without explicit lengths."""
+    from fots.codec import LabelCodec
+
+    codec = LabelCodec()
+    n_cls = codec.num_classes
+    ids = rng.integers(0, n_cls + 3, (20, 17))  # includes out-of-range ids
+    lengths = rng.integers(0, 18, 20)
+    got = codec.decode_batch(ids)
+    want = [codec.decode_ids(row.tolist()) for row in ids]
+    assert got == want
+    got_l = codec.decode_batch(ids, lengths)
+    want_l = [codec.decode_ids(row[:int(l)].tolist()) for row, l in zip(ids, lengths)]
+    assert got_l == want_l

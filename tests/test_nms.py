@@ -115,3 +115,48 @@ def test_get_boxes_empty():
     out = get_boxes(np.zeros((8, 8), np.float32), np.zeros((8, 8, 4), np.float32),
                     np.zeros((8, 8, 2), np.float32))
     assert out.shape == (0, 9)
+
+
+def test_sparse_candidates_match_dense(rng):
+    """extract_candidates (device) + get_boxes_from_candidates (host) must
+    reproduce the dense get_boxes path exactly when k covers all pixels."""
+    import jax.numpy as jnp
+
+    from fots.ops.nms import extract_candidates, get_boxes_from_candidates
+
+    H, W = 32, 64
+    B = 2
+    segm = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    # carve structured word regions so merges actually happen
+    segm[:, 10:15, 10:31] += 0.5
+    geo = rng.uniform(0.5, 8.0, (B, H, W, 4)).astype(np.float32)
+    theta = rng.uniform(-0.3, 0.3, (B, H, W))
+    angle = np.stack([np.sin(theta), np.cos(theta)], -1).astype(np.float32)
+
+    cands = np.asarray(extract_candidates(
+        jnp.asarray(segm), jnp.asarray(geo), jnp.asarray(angle),
+        k=H * W, segm_thresh=0.9))
+    assert cands.shape == (B, 8, H * W)  # channel-first packing
+    for b in range(B):
+        dense = get_boxes(segm[b], geo[b], angle[b], 0.9)
+        sparse = get_boxes_from_candidates(cands[b], H, W, 0.9)
+        np.testing.assert_array_equal(dense, sparse)
+
+
+def test_sparse_candidates_topk_truncation():
+    """With k smaller than the candidate count, the k highest-score pixels
+    survive and the pipeline still returns finite boxes."""
+    import jax.numpy as jnp
+
+    from fots.ops.nms import extract_candidates, get_boxes_from_candidates
+
+    H, W = 16, 16
+    segm = np.full((1, H, W), 0.8, np.float32)
+    geo = np.full((1, H, W, 4), 2.0, np.float32)
+    angle = np.zeros((1, H, W, 2), np.float32)
+    angle[..., 1] = 1.0
+    cands = np.asarray(extract_candidates(
+        jnp.asarray(segm), jnp.asarray(geo), jnp.asarray(angle), k=32))
+    assert (cands[0, 0, :] > 0.5).sum() == 32
+    out = get_boxes_from_candidates(cands[0], H, W)
+    assert out.shape[0] >= 1 and np.isfinite(out).all()
