@@ -3,4 +3,5 @@ from fots.parallel.mesh import (  # noqa: F401
     make_mesh,
     param_shardings,
     replicate,
+    shard_init,
 )

@@ -82,10 +82,24 @@ class FOTSInference:
 
     def __init__(self, model: FOTSDetector, variables, codec: Optional[LabelCodec] = None,
                  segm_thresh: float = 0.5, iou_th1: float = 0.4, iou_th2: float = 0.2,
-                 mixed_precision: bool = False, max_candidates: int = 8192):
+                 mixed_precision: bool = False, max_candidates: int = 8192,
+                 mesh=None):
         self.model = model
         if mixed_precision:
             variables = cast_params_bf16(dict(variables))
+        # multi-chip serving: params replicated (vocab head optionally
+        # tensor-sharded) on the mesh; image/roi batches shard over 'data'
+        # — XLA splits the forward across chips and inserts the collectives
+        # (the serving-side analog of the training mesh, SURVEY.md §2.3)
+        self.mesh = mesh
+        self._data_parallel = 1
+        if mesh is not None:
+            from fots.parallel import batch_sharding, shard_init
+            from fots.parallel.mesh import DATA_AXIS
+
+            variables = shard_init(dict(variables), mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            self._data_parallel = mesh.shape[DATA_AXIS]
         self.variables = variables
         self.mixed_precision = mixed_precision
         self.codec = codec or LabelCodec()
@@ -152,6 +166,31 @@ class FOTSInference:
         self._recognize = _recognize
         self._recognize_from_image = _recognize_from_image
 
+    # -------- mesh helpers --------
+
+    _DUMMY_ROI = (0.0, 8.0, 8.0, 8.0, 8.0, 0.0)
+
+    def _pad_to_shards(self, n: int) -> int:
+        d = self._data_parallel
+        return -(-n // d) * d
+
+    def _put_batch(self, arr):
+        arr = jnp.asarray(arr)
+        if self.mesh is not None:
+            return jax.device_put(arr, self._batch_sharding)
+        return arr
+
+    def _put_rois(self, rois_np: np.ndarray):
+        """Device-put rois sharded over 'data', padding the count to a
+        multiple of the data-axis size (padded slots get a harmless dummy
+        roi; callers slice outputs back to the true count)."""
+        n = rois_np.shape[0]
+        m = self._pad_to_shards(n)
+        if m != n:
+            pad = np.tile(np.asarray(self._DUMMY_ROI, np.float32), (m - n, 1))
+            rois_np = np.concatenate([rois_np, pad], axis=0)
+        return self._put_batch(rois_np)
+
     # -------- detection --------
 
     def detect_maps(self, images_norm: np.ndarray):
@@ -171,12 +210,19 @@ class FOTSInference:
     def detect_boxes_batch(self, images_norm: np.ndarray):
         """Sparse detection path: device top-k candidate extraction, then
         per-image host NMS.  Returns (list of boxes [Ni,9], focr)."""
+        n = images_norm.shape[0]
         hs, ws = images_norm.shape[1] // 4, images_norm.shape[2] // 4
-        cands_dev, focr = self._forward_sparse(self.variables, jnp.asarray(images_norm))
-        cands = np.asarray(cands_dev)  # [B, k, 8] — the only map-side transfer
-        boxes = [get_boxes_from_candidates(c, hs, ws, self.segm_thresh,
+        m = self._pad_to_shards(n)
+        if m != n:  # pad batch so it shards evenly over 'data'
+            images_norm = np.concatenate(
+                [images_norm, np.zeros((m - n,) + images_norm.shape[1:],
+                                       images_norm.dtype)], axis=0)
+        cands_dev, focr = self._forward_sparse(
+            self.variables, self._put_batch(images_norm))
+        cands = np.asarray(cands_dev)  # [B, 8, k] — the only map-side transfer
+        boxes = [get_boxes_from_candidates(cands[i], hs, ws, self.segm_thresh,
                                            self.iou_th1, self.iou_th2)
-                 for c in cands]
+                 for i in range(n)]
         return boxes, focr
 
     def detect(self, image_bgr: np.ndarray, scale_up: bool = False):
@@ -210,13 +256,13 @@ class FOTSInference:
         texts = [""] * n
         ids_out: List[Optional[np.ndarray]] = [None] * n
         for width, idxs in sorted(buckets.items()):
-            sel = jnp.asarray(rois[np.asarray(idxs)])
+            sel = self._put_rois(rois[np.asarray(idxs)])
             if images_norm is not None:
                 ids, _conf = self._recognize_from_image(
                     self.variables, jnp.asarray(images_norm), sel, width * 4)
             else:
                 ids, _conf = self._recognize(self.variables, focr, sel, width)
-            ids = np.asarray(ids)
+            ids = np.asarray(ids)[: len(idxs)]
             decoded = self.codec.decode_batch(ids)
             for j, i in enumerate(idxs):
                 texts[i] = decoded[j]
@@ -263,9 +309,9 @@ class FOTSInference:
         if all_rois:
             rois_arr = np.asarray(all_rois, np.float32)
             for width, idxs in sorted(buckets.items()):
-                sel = jnp.asarray(rois_arr[np.asarray(idxs)])
+                sel = self._put_rois(rois_arr[np.asarray(idxs)])
                 ids, _ = self._recognize(self.variables, focr, sel, width)
-                ids = np.asarray(ids)
+                ids = np.asarray(ids)[: len(idxs)]
                 dec = self.codec.decode_batch(ids)
                 for k, ridx in enumerate(idxs):
                     texts[ridx] = dec[k]

@@ -89,7 +89,9 @@ def sample_rois(
         lbs = labels[bid]
 
         # ---- predicted-pixel sampling (ocr_process.py:93-187) ----
-        if segm_pred is not None and len(gts) > 0:
+        # needs the full prediction triple; geo/angle are indexed per pixel
+        if (segm_pred is not None and geo_pred is not None
+                and angle_pred is not None and len(gts) > 0):
             to_walk = segm_pred[bid] * score_maps[bid] * (segm_pred[bid] > 0.5)
             ys, xs = np.nonzero(to_walk > 0)
             if ys.size:

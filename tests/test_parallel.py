@@ -54,3 +54,46 @@ def test_vocab_not_sharded_when_indivisible():
     params = {"conv11": {"kernel": jnp.zeros((1, 1, 4, 87))}}  # 87 % 2 != 0
     sh = param_shardings(params, mesh)
     assert sh["conv11"]["kernel"].spec == P()
+
+
+def test_mesh_serving_matches_single_device(rng):
+    """FOTSInference on a data-parallel mesh matches the unmeshed engine.
+
+    Compares at the device-output level (candidate pixel sets + geometry):
+    random weights put scores near the NMS threshold, where layout-dependent
+    f32 summation order can flip candidates, so the score head is biased
+    high to keep every pixel far from the decision boundary.
+    """
+    import jax.numpy as jnp
+
+    from fots.models import FOTSDetector
+    from fots.models.detector import init_detector
+    from fots.pipeline import FOTSInference
+
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    variables["params"]["act"]["bias"] = jnp.full_like(
+        variables["params"]["act"]["bias"], 4.0)  # all pixels fire
+    plain = FOTSInference(model, dict(variables))
+    meshed = FOTSInference(model, dict(variables), mesh=make_mesh(n_data=8))
+    assert meshed._data_parallel == 8
+
+    # 3 images: exercises batch padding 3 -> 8 shards
+    ims = np.stack([rng.uniform(-1, 1, (64, 96, 3)) for _ in range(3)]
+                   ).astype(np.float32)
+    cw, _ = plain._forward_sparse(plain.variables, jnp.asarray(ims))
+    padded = np.concatenate([ims, np.zeros((5, 64, 96, 3), np.float32)])
+    cg, _ = meshed._forward_sparse(meshed.variables, meshed._put_batch(padded))
+    cw, cg = np.asarray(cw), np.asarray(cg)
+    for i in range(3):
+        # same candidate pixel set, same geometry (idx row is channel 7)
+        ow, og = np.argsort(cw[i, 7]), np.argsort(cg[i, 7])
+        np.testing.assert_array_equal(cw[i, 7, ow], cg[i, 7, og])
+        np.testing.assert_allclose(cw[i, :, ow], cg[i, :, og], atol=5e-2)
+
+    # and the full meshed pipeline runs end to end (rois padded 3->8 etc.)
+    results = meshed.batch_call(
+        [rng.uniform(0, 255, (70, 100, 3)).astype(np.uint8)], serve_hw=(64, 96))
+    assert len(results) == 1
+    for r in results[0]:
+        assert np.isfinite(r["box"][:8]).all() and isinstance(r["text"], str)
