@@ -31,6 +31,8 @@ def main(argv=None):
                         help="skip predicted-roi sampling (early-training mode)")
     parser.add_argument("-geo_type", type=int, default=0,
                         help="0=edge-distance targets, 1=row/col-scan variant")
+    parser.add_argument("-ohem", action="store_true",
+                        help="OHEM score loss (FOTS paper) instead of dice")
     args = parser.parse_args(argv)
 
     from fots.checkpoint import (import_torch_state_dict, load_torch_h5,
@@ -52,6 +54,7 @@ def main(argv=None):
         seed=args.seed,
         mesh=mesh,
         use_predicted_rois=not args.gt_rois_only,
+        ohem=args.ohem,
     )
 
     if args.h5 and os.path.exists(args.h5):

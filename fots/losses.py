@@ -73,6 +73,35 @@ def _resize_map(x, out_hw):
     return resize_bilinear(x[..., None], out_hw)[..., 0]
 
 
+def ohem_score_loss(pred, score_gt, training_mask, n_hard_neg: int = 512):
+    """Per-image OHEM classification loss (FOTS paper arXiv:1801.01671
+    §3.4; the reference repo omits it — SURVEY.md §2.2 — so this is an
+    opt-in improvement, not a parity behavior).
+
+    Balanced binary cross-entropy over all positive pixels plus the
+    ``n_hard_neg`` highest-loss negative pixels per image.  Hard-negative
+    selection uses ``jax.lax.top_k`` so shapes stay static under jit; when
+    an image has fewer than ``n_hard_neg`` negatives the extra top-k slots
+    carry zero loss and the denominator counts only real negatives.
+    """
+    import jax
+
+    b = pred.shape[0]
+    tgt = (score_gt > 0.5).astype(pred.dtype)
+    m = training_mask.astype(pred.dtype)
+    p = jnp.clip(pred.astype(jnp.float32), 1e-6, 1.0 - 1e-6)
+    ce = -(tgt * jnp.log(p) + (1.0 - tgt) * jnp.log(1.0 - p)) * m
+
+    pos = tgt * m
+    neg = (1.0 - tgt) * m
+    neg_ce = (ce * neg).reshape(b, -1)
+    k = min(n_hard_neg, neg_ce.shape[1])
+    hard_neg = jax.lax.top_k(neg_ce, k)[0].sum(-1)              # [B]
+    pos_sum = (ce * pos).reshape(b, -1).sum(-1)
+    n_sel = pos.reshape(b, -1).sum(-1) + jnp.minimum(neg.reshape(b, -1).sum(-1), float(k))
+    return jnp.mean((pos_sum + hard_neg) / jnp.maximum(n_sel, 1.0))
+
+
 def detection_loss(
     outputs: Dict,
     score_gt,
@@ -80,25 +109,30 @@ def detection_loss(
     geo_gt,
     angle_gt,
     multi_scale: bool = True,
+    ohem: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full EAST loss (reference ModelResNetSep2.loss, models.py:459-505).
 
     outputs: the detector's dict (segm/rbox/angle lists, NHWC);
     score_gt/training_mask/angle_gt: [B,Hs,Ws]; geo_gt: [B,Hs,Ws,4].
+    ``ohem=True`` swaps the dice score loss for the FOTS paper's OHEM
+    cross-entropy (:func:`ohem_score_loss`).
     Returns dict of scalars: total, segm, angle, iou.
     """
     segm_p = outputs["segm"][0][..., 0]
     angle_p = outputs["angle"][0]
     geo_p = outputs["rbox"][0]
 
-    segm_loss = dice_loss(segm_p * training_mask, score_gt * training_mask)
+    score_fn = ohem_score_loss if ohem else (
+        lambda p, gt, m: dice_loss(p * m, gt * m))
+    segm_loss = score_fn(segm_p, score_gt, training_mask)
 
     if multi_scale:
         segm_p2 = outputs["segm"][1][..., 0]
         hw2 = segm_p2.shape[1:3]
         gt2 = _resize_map(score_gt, hw2)
         m2 = _resize_map(training_mask, hw2)
-        segm_loss = segm_loss + dice_loss(segm_p2 * m2, gt2 * m2)
+        segm_loss = segm_loss + score_fn(segm_p2, gt2, m2)
 
     byte_mask = (score_gt > 0.5).astype(segm_p.dtype)
     gt_sin = jnp.sin(angle_gt)

@@ -117,7 +117,8 @@ def _unpack_device_batch(sharded, rep, input_hw, max_rois, max_label):
     return batch
 
 
-def make_train_step(model: FOTSDetector, multi_scale: bool = True):
+def make_train_step(model: FOTSDetector, multi_scale: bool = True,
+                    ohem: bool = False):
     """Returns step(state, sharded, rep, input_hw, strip_width) jitted per
     (input shape, strip bucket)."""
     from fots.roirotate import MAX_LABEL_LEN, MAX_ROIS
@@ -143,6 +144,7 @@ def make_train_step(model: FOTSDetector, multi_scale: bool = True):
                 batch["geo_maps"],
                 batch["angle_gt"],
                 multi_scale=multi_scale,
+                ohem=ohem,
             )
             strips = rroi_align(out["focr"], batch["rois"], POOLED_HEIGHT,
                                 strip_width, 0.25)
@@ -220,6 +222,7 @@ class Trainer:
         seed: int = 0,
         mesh=None,
         use_predicted_rois: bool = True,
+        ohem: bool = False,
     ):
         self.codec = codec or LabelCodec()
         self.model = model or FOTSDetector(nclass=self.codec.num_classes)
@@ -234,7 +237,8 @@ class Trainer:
         self.state = self.state.replace(
             params=jax.tree_util.tree_map(jax.device_put, self.state.params, shardings)
         )
-        self._step_fn = make_train_step(self.model, self.model.multi_scale)
+        self._step_fn = make_train_step(self.model, self.model.multi_scale,
+                                        ohem=ohem)
         self._np_rng = np.random.default_rng(seed)
         self._prev_maps = None  # previous step's detached prediction maps
         self.metrics = {k: Averager() for k in

@@ -133,3 +133,67 @@ def test_ctc_roi_mask_excludes_padding(rng):
     got2 = float(ctc_loss(jnp.asarray(log_probs[:2]), jnp.asarray(labels[:2]),
                           jnp.asarray(lengths[:2])))
     np.testing.assert_allclose(got, got2, rtol=1e-5)
+
+
+def test_ohem_score_loss_selects_hard_negatives():
+    """OHEM: perfect predictions -> ~0 loss; hard negatives dominate when
+    a few background pixels confidently fire."""
+    from fots.losses import ohem_score_loss
+
+    B, H, W = 2, 16, 16
+    gt = np.zeros((B, H, W), np.float32)
+    gt[:, 4:8, 4:12] = 1.0
+    mask = np.ones((B, H, W), np.float32)
+
+    perfect = jnp.asarray(np.where(gt > 0.5, 0.999999, 1e-6).astype(np.float32))
+    low = float(ohem_score_loss(perfect, jnp.asarray(gt), jnp.asarray(mask)))
+    assert low < 1e-3
+
+    # 3 confident false positives per image -> selected as hard negatives
+    bad = np.where(gt > 0.5, 0.999999, 1e-6).astype(np.float32)
+    bad[:, 0, :3] = 0.99
+    high = float(ohem_score_loss(jnp.asarray(bad), jnp.asarray(gt), jnp.asarray(mask)))
+    assert high > low + 0.01
+
+    # with a tiny hard-negative budget the same FPs weigh MORE per pixel
+    high_small_k = float(ohem_score_loss(jnp.asarray(bad), jnp.asarray(gt),
+                                         jnp.asarray(mask), n_hard_neg=4))
+    assert high_small_k > high
+
+
+def test_ohem_respects_training_mask():
+    from fots.losses import ohem_score_loss
+
+    gt = np.zeros((1, 8, 8), np.float32)
+    pred = np.full((1, 8, 8), 0.99, np.float32)  # all false positives
+    mask0 = np.zeros((1, 8, 8), np.float32)
+    assert float(ohem_score_loss(jnp.asarray(pred), jnp.asarray(gt),
+                                 jnp.asarray(mask0))) == 0.0
+
+
+def test_detection_loss_ohem_flag():
+    """ohem=True swaps only the score term; angle/iou terms unchanged."""
+    from fots.losses import detection_loss
+
+    rng = np.random.default_rng(0)
+    B, H, W = 1, 8, 8
+    out = {
+        "segm": [jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32)),
+                 jnp.asarray(rng.uniform(0, 1, (B, H // 2, W // 2, 1)).astype(np.float32))],
+        "rbox": [jnp.asarray(rng.uniform(1, 8, (B, H, W, 4)).astype(np.float32)),
+                 jnp.asarray(rng.uniform(1, 8, (B, H // 2, W // 2, 4)).astype(np.float32))],
+        "angle": [jnp.asarray(rng.uniform(-1, 1, (B, H, W, 2)).astype(np.float32)),
+                  jnp.asarray(rng.uniform(-1, 1, (B, H // 2, W // 2, 2)).astype(np.float32))],
+    }
+    score = np.zeros((B, H, W), np.float32); score[:, 2:6, 2:6] = 1.0
+    mask = np.ones((B, H, W), np.float32)
+    geo = rng.uniform(1, 4, (B, H, W, 4)).astype(np.float32)
+    ang = np.zeros((B, H, W), np.float32)
+    d = detection_loss(out, jnp.asarray(score), jnp.asarray(mask),
+                       jnp.asarray(geo), jnp.asarray(ang))
+    o = detection_loss(out, jnp.asarray(score), jnp.asarray(mask),
+                       jnp.asarray(geo), jnp.asarray(ang), ohem=True)
+    assert float(o["angle"]) == float(d["angle"])
+    assert float(o["iou"]) == float(d["iou"])
+    assert float(o["segm"]) != float(d["segm"])
+    assert np.isfinite(float(o["total"]))
