@@ -75,8 +75,18 @@ def sample_rois(
     angle_pred: Optional[np.ndarray] = None,  # [B,hs,ws,2] (sin,cos)
     max_rois: int = MAX_ROIS,
     jitter: bool = True,
+    pred_candidates: Optional[np.ndarray] = None,  # [B,8,K] packed rows
+    pred_map_hw=None,                              # (hs, ws) for candidates
 ) -> RoiBatch:
-    """Build one fixed-shape roi batch for the whole image batch."""
+    """Build one fixed-shape roi batch for the whole image batch.
+
+    Predicted-pixel sampling takes either full prediction maps
+    (segm/geo/angle_pred) or pre-extracted random candidates from
+    :func:`fots.train.extract_roi_candidates` (``pred_candidates`` packed as
+    ``(score, d0..d3, sin, cos, flat_idx)`` channels; invalid slots have
+    score <= 0) — the on-device extraction ships ~100x fewer bytes per
+    step while keeping the same uniform-sample semantics.
+    """
     H, W = im_hw
     rrois: List[List[float]] = []
     texts: List[str] = []
@@ -89,71 +99,83 @@ def sample_rois(
         lbs = labels[bid]
 
         # ---- predicted-pixel sampling (ocr_process.py:93-187) ----
-        # needs the full prediction triple; geo/angle are indexed per pixel
-        if (segm_pred is not None and geo_pred is not None
+        cand = None  # (ys, xs, geo rows [n,4], sin [n], cos [n])
+        if pred_candidates is not None and len(gts) > 0:
+            rows = np.asarray(pred_candidates[bid]).T      # [K, 8]
+            rows = rows[rows[:, 0] > 0]
+            if rows.shape[0]:
+                flat = rows[:, 7].astype(np.int64)
+                cand = (flat // pred_map_hw[1], flat % pred_map_hw[1],
+                        rows[:, 1:5], rows[:, 5], rows[:, 6])
+        elif (segm_pred is not None and geo_pred is not None
                 and angle_pred is not None and len(gts) > 0):
+            # full-map path: geo/angle indexed per candidate pixel
             to_walk = segm_pred[bid] * score_maps[bid] * (segm_pred[bid] > 0.5)
             ys, xs = np.nonzero(to_walk > 0)
             if ys.size:
-                order = rng.permutation(ys.size)[: min(ys.size, 100)]
-                counts: dict = {}
-                for k in order:
-                    y, x = int(ys[k]), int(xs[k])
-                    gt_id = int(gt_idxs[bid, y, x])
-                    if gt_id < 0 or gt_id >= len(gts):
-                        continue
-                    counts.setdefault(gt_id, 0)
-                    if counts[gt_id] > 2:
-                        continue
-                    gt = np.asarray(gts[gt_id])
-                    gt_txt = lbs[gt_id]
-                    if gt_txt.startswith("##"):
-                        continue
-                    dh = gt[1] - gt[0]
-                    h_gt = math.hypot(dh[0], dh[1])
-                    if h_gt < 10:
-                        continue
-                    # parity: both axes compared to image width
-                    if gt[:, 0].max() > W or gt[:, 1].max() > W:
-                        continue
-                    a_sin = float(angle_pred[bid, y, x, 0])
-                    a_cos = float(angle_pred[bid, y, x, 1])
-                    angle = math.atan2(a_sin, a_cos)
-                    angle_gt = (
-                        math.atan2(gt[2][1] - gt[1][1], gt[2][0] - gt[1][0])
-                        + math.atan2(gt[3][1] - gt[0][1], gt[3][0] - gt[0][0])
-                    ) / 2
-                    if math.fabs(angle_gt - angle) > math.pi / 16:
-                        continue
-                    off = geo_pred[bid, y, x]
-                    yp, xp = y + 0.25, x + 0.25
-                    pos_g = np.array([(xp - off[0] * math.sin(angle)) * 4,
-                                      (yp - off[0] * math.cos(angle)) * 4])
-                    pos_g2 = np.array([(xp + off[1] * math.sin(angle)) * 4,
-                                       (yp + off[1] * math.cos(angle)) * 4])
-                    pos_r = np.array([(xp - off[2] * math.cos(angle)) * 4,
-                                      (yp - off[2] * math.sin(angle)) * 4])
-                    pos_r2 = np.array([(xp + off[3] * math.cos(angle)) * 4,
-                                       (yp + off[3] * math.sin(angle)) * 4])
-                    center = (pos_g + pos_g2 + pos_r + pos_r2) / 2 - [4 * x, 4 * y]
-                    dw = pos_r - pos_r2
-                    dhv = pos_g - pos_g2
-                    w_box = math.hypot(dw[0], dw[1])
-                    h_box = math.hypot(dhv[0], dhv[1])
-                    rect = ((center[0], center[1]), (w_box, h_box), angle * 180 / math.pi)
-                    pts = cv2.boxPoints(rect)
-                    bb = cv2.boundingRect(pts)
-                    pred_bbox = [bb[0], bb[1], bb[0] + bb[2], bb[1] + bb[3]]
-                    gt_bbox = [gt[:, 0].min(), gt[:, 1].min(), gt[:, 0].max(), gt[:, 1].max()]
-                    if _axis_iou(pred_bbox, gt_bbox) < 0.9:
-                        continue
-                    if min(h_box, h_gt) / max(h_box, h_gt) < 0.5:
-                        continue
-                    ang_deg = -angle / math.pi * 180.0
-                    rrois.append([bid, center[0], center[1], h_box, w_box, ang_deg])
-                    texts.append(gt_txt)
-                    counts[gt_id] += 1
-                    n_pred += 1
+                cand = (ys, xs, geo_pred[bid, ys, xs],
+                        angle_pred[bid, ys, xs, 0], angle_pred[bid, ys, xs, 1])
+        if cand is not None:
+            ys_c, xs_c, geo_c, sin_c, cos_c = cand
+            order = rng.permutation(len(ys_c))[: min(len(ys_c), 100)]
+            counts: dict = {}
+            for k in order:
+                y, x = int(ys_c[k]), int(xs_c[k])
+                gt_id = int(gt_idxs[bid, y, x])
+                if gt_id < 0 or gt_id >= len(gts):
+                    continue
+                counts.setdefault(gt_id, 0)
+                if counts[gt_id] > 2:
+                    continue
+                gt = np.asarray(gts[gt_id])
+                gt_txt = lbs[gt_id]
+                if gt_txt.startswith("##"):
+                    continue
+                dh = gt[1] - gt[0]
+                h_gt = math.hypot(dh[0], dh[1])
+                if h_gt < 10:
+                    continue
+                # parity: both axes compared to image width
+                if gt[:, 0].max() > W or gt[:, 1].max() > W:
+                    continue
+                a_sin = float(sin_c[k])
+                a_cos = float(cos_c[k])
+                angle = math.atan2(a_sin, a_cos)
+                angle_gt = (
+                    math.atan2(gt[2][1] - gt[1][1], gt[2][0] - gt[1][0])
+                    + math.atan2(gt[3][1] - gt[0][1], gt[3][0] - gt[0][0])
+                ) / 2
+                if math.fabs(angle_gt - angle) > math.pi / 16:
+                    continue
+                off = geo_c[k]
+                yp, xp = y + 0.25, x + 0.25
+                pos_g = np.array([(xp - off[0] * math.sin(angle)) * 4,
+                                  (yp - off[0] * math.cos(angle)) * 4])
+                pos_g2 = np.array([(xp + off[1] * math.sin(angle)) * 4,
+                                   (yp + off[1] * math.cos(angle)) * 4])
+                pos_r = np.array([(xp - off[2] * math.cos(angle)) * 4,
+                                  (yp - off[2] * math.sin(angle)) * 4])
+                pos_r2 = np.array([(xp + off[3] * math.cos(angle)) * 4,
+                                   (yp + off[3] * math.sin(angle)) * 4])
+                center = (pos_g + pos_g2 + pos_r + pos_r2) / 2 - [4 * x, 4 * y]
+                dw = pos_r - pos_r2
+                dhv = pos_g - pos_g2
+                w_box = math.hypot(dw[0], dw[1])
+                h_box = math.hypot(dhv[0], dhv[1])
+                rect = ((center[0], center[1]), (w_box, h_box), angle * 180 / math.pi)
+                pts = cv2.boxPoints(rect)
+                bb = cv2.boundingRect(pts)
+                pred_bbox = [bb[0], bb[1], bb[0] + bb[2], bb[1] + bb[3]]
+                gt_bbox = [gt[:, 0].min(), gt[:, 1].min(), gt[:, 0].max(), gt[:, 1].max()]
+                if _axis_iou(pred_bbox, gt_bbox) < 0.9:
+                    continue
+                if min(h_box, h_gt) / max(h_box, h_gt) < 0.5:
+                    continue
+                ang_deg = -angle / math.pi * 180.0
+                rrois.append([bid, center[0], center[1], h_box, w_box, ang_deg])
+                texts.append(gt_txt)
+                counts[gt_id] += 1
+                n_pred += 1
 
         # ---- always append GT rois (ocr_process.py:196-221) ----
         if len(gts) > 0:

@@ -65,17 +65,20 @@ def create_train_state(
 
 
 def pack_host_batch(batch, roi_batch) -> tuple:
-    """Flatten the whole host batch into TWO buffers (sharded + replicated).
+    """Flatten the whole host batch into THREE buffers.
 
-    Slow-link transports pay a large per-transfer floor; one [B, X] f32
-    buffer for the per-image data and one flat f32 buffer for the roi data
-    turn 9 host->device transfers into 2.  int32 label ids round-trip
-    exactly through f32 (values << 2^24).
+    Slow-link transports pay a large per-transfer floor AND per-byte cost:
+    images travel as uint8 (they are x/128-1 of uint8 pixels, so the
+    round-trip is bit-exact and 4x smaller than f32 — normalization happens
+    on device); the per-image target maps pack into one [B, X] f32 buffer;
+    the roi data into one replicated flat f32 buffer.  int32 label ids
+    round-trip exactly through f32 (values << 2^24).
     """
     b = batch.images.shape[0]
+    images_u8 = np.clip(np.rint((batch.images + 1.0) * 128.0),
+                        0, 255).astype(np.uint8)
     sharded = np.concatenate(
         [
-            batch.images.reshape(b, -1),
             batch.score_maps.reshape(b, -1).astype(np.float32),
             batch.training_masks.reshape(b, -1).astype(np.float32),
             np.ascontiguousarray(batch.geo_maps[..., :4], np.float32).reshape(b, -1),
@@ -91,21 +94,21 @@ def pack_host_batch(batch, roi_batch) -> tuple:
             roi_batch.roi_mask,
         ]
     ).astype(np.float32)
-    return sharded, rep
+    return images_u8, sharded, rep
 
 
-def _unpack_device_batch(sharded, rep, input_hw, max_rois, max_label):
+def _unpack_device_batch(images_u8, sharded, rep, input_hw, max_rois, max_label):
     h, w = input_hw
     b = sharded.shape[0]
     hs, ws = h // 4, w // 4
-    sizes = [h * w * 3, hs * ws, hs * ws, hs * ws * 4, hs * ws]
+    sizes = [hs * ws, hs * ws, hs * ws * 4, hs * ws]
     offs = np.cumsum([0] + sizes)
     batch = {
-        "images": sharded[:, offs[0]:offs[1]].reshape(b, h, w, 3),
-        "score_maps": sharded[:, offs[1]:offs[2]].reshape(b, hs, ws),
-        "training_masks": sharded[:, offs[2]:offs[3]].reshape(b, hs, ws),
-        "geo_maps": sharded[:, offs[3]:offs[4]].reshape(b, hs, ws, 4),
-        "angle_gt": sharded[:, offs[4]:offs[5]].reshape(b, hs, ws),
+        "images": images_u8.astype(jnp.float32) / 128.0 - 1.0,
+        "score_maps": sharded[:, offs[0]:offs[1]].reshape(b, hs, ws),
+        "training_masks": sharded[:, offs[1]:offs[2]].reshape(b, hs, ws),
+        "geo_maps": sharded[:, offs[2]:offs[3]].reshape(b, hs, ws, 4),
+        "angle_gt": sharded[:, offs[3]:offs[4]].reshape(b, hs, ws),
     }
     r0 = max_rois * 6
     r1 = r0 + max_rois * max_label
@@ -117,6 +120,38 @@ def _unpack_device_batch(sharded, rep, input_hw, max_rois, max_label):
     return batch
 
 
+ROI_CANDIDATES_K = 128  # random candidate pixels shipped to the host sampler
+
+
+def extract_roi_candidates(rng, segm_pred, score_gt, geo_pred, angle_pred,
+                           k: int = ROI_CANDIDATES_K):
+    """Device-side uniform sampling of roi-candidate pixels (jittable).
+
+    The host sampler (fots/roirotate.py:sample_rois) walks a random
+    permutation of pixels where ``segm_pred > 0.5`` inside gt text and keeps
+    at most 100 — so shipping full prediction maps off-device every step
+    (reference ocr_process.py:91-95 does exactly that) wastes ~100x the
+    bytes.  Instead, draw ``k`` of those pixels WITHOUT replacement by
+    top-k over iid uniform priorities (distributionally identical to
+    ``rng.permutation(...)[:k]``), gather their geometry, and pack
+    channel-first ``[B, 8, k]`` rows ``(score, d0..d3, sin, cos, flat_idx)``
+    with invalid slots marked by score -1.
+    """
+    b, h, w = segm_pred.shape
+    k = min(k, h * w)
+    valid = (segm_pred > 0.5) & (score_gt > 0)
+    pri = jax.random.uniform(rng, (b, h * w), jnp.float32)
+    pri = jnp.where(valid.reshape(b, h * w), pri, -1.0)
+    top_pri, idx = jax.lax.top_k(pri, k)
+    flat_score = jnp.take_along_axis(segm_pred.reshape(b, h * w), idx, axis=1)
+    score = jnp.where(top_pri > 0, flat_score, -1.0)
+    g = jnp.take_along_axis(geo_pred.reshape(b, h * w, 4), idx[..., None], axis=1)
+    a = jnp.take_along_axis(angle_pred.reshape(b, h * w, 2), idx[..., None], axis=1)
+    packed = jnp.concatenate(
+        [score[..., None], g, a, idx[..., None].astype(jnp.float32)], axis=-1)
+    return jnp.transpose(packed, (0, 2, 1)).astype(jnp.float32)
+
+
 def make_train_step(model: FOTSDetector, multi_scale: bool = True,
                     ohem: bool = False):
     """Returns step(state, sharded, rep, input_hw, strip_width) jitted per
@@ -125,8 +160,10 @@ def make_train_step(model: FOTSDetector, multi_scale: bool = True,
 
     @functools.partial(jax.jit, static_argnames=("strip_width", "input_hw"),
                        donate_argnums=(0,))
-    def train_step(state: TrainState, sharded, rep, input_hw, strip_width: int):
-        batch = _unpack_device_batch(sharded, rep, input_hw, MAX_ROIS, MAX_LABEL_LEN)
+    def train_step(state: TrainState, images_u8, sharded, rep, input_hw,
+                   strip_width: int):
+        batch = _unpack_device_batch(images_u8, sharded, rep, input_hw,
+                                     MAX_ROIS, MAX_LABEL_LEN)
         rng, new_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -175,17 +212,20 @@ def make_train_step(model: FOTSDetector, multi_scale: bool = True,
         new_state = state.apply_gradients(
             grads=grads, batch_stats=aux.pop("batch_stats"), rng=new_rng
         )
-        # pack prediction maps channel-first ([B,7,hs,ws]): keeps the wide
-        # W axis on the TPU lane dim so the device->host pull for roi
-        # sampling ships unpadded bytes
-        maps = jnp.concatenate(
-            [aux.pop("segm_pred")[..., None], aux.pop("geo_pred"),
-             aux.pop("angle_pred")], axis=-1)
-        maps = jax.lax.stop_gradient(jnp.transpose(maps, (0, 3, 1, 2)))
+        # extract next step's roi candidates on device (~100x less d2h
+        # traffic than shipping the full prediction maps)
+        cand_rng = jax.random.fold_in(rng, 1)
+        cands = extract_roi_candidates(
+            cand_rng,
+            jax.lax.stop_gradient(aux.pop("segm_pred")),
+            batch["score_maps"],
+            jax.lax.stop_gradient(aux.pop("geo_pred")),
+            jax.lax.stop_gradient(aux.pop("angle_pred")),
+        )
         # pack scalar metrics into ONE small array (one transfer, not five)
         metric_vec = jnp.stack([aux["loss"], aux["segm_loss"], aux["angle_loss"],
                                 aux["iou_loss"], aux["ctc_loss"]])
-        return new_state, metric_vec, maps
+        return new_state, metric_vec, cands
 
     return train_step
 
@@ -240,17 +280,17 @@ class Trainer:
         self._step_fn = make_train_step(self.model, self.model.multi_scale,
                                         ohem=ohem)
         self._np_rng = np.random.default_rng(seed)
-        self._prev_maps = None  # previous step's detached prediction maps
+        self._prev_maps = None  # (candidate pack [B,8,K], (hs, ws)) from prev step
         self.metrics = {k: Averager() for k in
                         ("loss", "segm_loss", "angle_loss", "iou_loss", "ctc_loss")}
 
     def _build_roi_batch(self, batch) -> RoiBatch:
-        segm = geo = angle = None
+        cands = hw = None
         if self.use_predicted_rois and self._prev_maps is not None:
-            pm = self._prev_maps
-            if pm["segm"].shape[0] == batch.images.shape[0] and \
-               pm["segm"].shape[1:] == batch.score_maps.shape[1:]:
-                segm, geo, angle = pm["segm"], pm["geo"], pm["angle"]
+            pc, phw = self._prev_maps
+            if pc.shape[0] == batch.images.shape[0] and \
+               phw == batch.score_maps.shape[1:]:
+                cands, hw = pc, phw
         return sample_rois(
             self._np_rng,
             batch.score_maps,
@@ -259,30 +299,27 @@ class Trainer:
             batch.labels,
             batch.images.shape[1:3],
             self.codec,
-            segm_pred=segm,
-            geo_pred=geo,
-            angle_pred=angle,
+            pred_candidates=cands,
+            pred_map_hw=hw,
         )
 
     def step(self, batch) -> Dict[str, float]:
         """One training step from a host DetectionBatch."""
         roi_batch = self._build_roi_batch(batch)
-        sharded, rep_buf = pack_host_batch(batch, roi_batch)
-        # exactly two host->device transfers per step
+        images_u8, sharded, rep_buf = pack_host_batch(batch, roi_batch)
+        # exactly three host->device transfers per step (u8 images 4x
+        # smaller than f32; normalization happens on device)
+        bsh = batch_sharding(self.mesh)
         dev = jax.device_put(
-            {"sharded": sharded, "rep": rep_buf},
-            {"sharded": batch_sharding(self.mesh), "rep": replicate(self.mesh)},
+            {"images": images_u8, "sharded": sharded, "rep": rep_buf},
+            {"images": bsh, "sharded": bsh, "rep": replicate(self.mesh)},
         )
-        self.state, metric_vec, maps = self._step_fn(
-            self.state, dev["sharded"], dev["rep"],
+        self.state, metric_vec, cands = self._step_fn(
+            self.state, dev["images"], dev["sharded"], dev["rep"],
             tuple(batch.images.shape[1:3]), roi_batch.strip_width)
-        # pull tiny packed maps for next step's roi sampling (single d2h)
-        m = np.asarray(maps)  # [B, 7, hs, ws]
-        self._prev_maps = {
-            "segm": m[:, 0],
-            "geo": np.moveaxis(m[:, 1:5], 1, -1),
-            "angle": np.moveaxis(m[:, 5:7], 1, -1),
-        }
+        # pull the tiny candidate pack for next step's roi sampling
+        self._prev_maps = (np.asarray(cands),
+                           tuple(batch.score_maps.shape[1:3]))
         vals = np.asarray(metric_vec)  # one transfer for all scalars
         out = {}
         for k, v in zip(METRIC_KEYS, vals):

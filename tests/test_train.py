@@ -39,7 +39,13 @@ def test_predicted_maps_pipelined(trainer_and_batch):
     trainer, batch = trainer_and_batch
     trainer.step(batch)
     assert trainer._prev_maps is not None
-    assert trainer._prev_maps["segm"].shape == batch.score_maps.shape
+    cands, hw = trainer._prev_maps
+    assert hw == batch.score_maps.shape[1:]
+    b = batch.score_maps.shape[0]
+    assert cands.shape[:2] == (b, 8)  # channel-first candidate pack
+    # a second step consumes the candidates (predicted-roi sampling path)
+    rb = trainer._build_roi_batch(batch)
+    assert rb.rois.shape[1] == 6
 
 
 def test_checkpoint_roundtrip(trainer_and_batch, tmp_path):
@@ -56,3 +62,83 @@ def test_checkpoint_roundtrip(trainer_and_batch, tmp_path):
     a = jax.tree_util.tree_leaves(trainer.state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_extract_roi_candidates_uniform_subset():
+    """Device candidate extraction: only above-threshold gt-text pixels,
+    correct packing, no duplicates, invalid slots marked."""
+    import jax
+    import jax.numpy as jnp
+
+    from fots.train import extract_roi_candidates
+
+    B, H, W = 2, 16, 16
+    rng = np.random.default_rng(3)
+    segm = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    score_gt = np.zeros((B, H, W), np.float32)
+    score_gt[:, 4:10, 2:14] = 1.0
+    geo = rng.uniform(0, 8, (B, H, W, 4)).astype(np.float32)
+    ang = rng.uniform(-1, 1, (B, H, W, 2)).astype(np.float32)
+
+    cands = np.asarray(extract_roi_candidates(
+        jax.random.PRNGKey(0), jnp.asarray(segm), jnp.asarray(score_gt),
+        jnp.asarray(geo), jnp.asarray(ang), k=32))
+    assert cands.shape == (B, 8, 32)
+    valid_mask = (segm > 0.5) & (score_gt > 0)
+    for b in range(B):
+        rows = cands[b].T
+        rows = rows[rows[:, 0] > 0]
+        n_valid = int(valid_mask[b].sum())
+        assert rows.shape[0] == min(n_valid, 32)
+        idx = rows[:, 7].astype(np.int64)
+        assert len(set(idx.tolist())) == len(idx)  # without replacement
+        ys, xs = idx // W, idx % W
+        assert valid_mask[b, ys, xs].all()
+        np.testing.assert_allclose(rows[:, 0], segm[b, ys, xs], rtol=1e-6)
+        np.testing.assert_allclose(rows[:, 1:5], geo[b, ys, xs], rtol=1e-6)
+        np.testing.assert_allclose(rows[:, 5:7], ang[b, ys, xs], rtol=1e-6)
+
+
+def test_sample_rois_candidate_path_matches_map_path():
+    """sample_rois via pred_candidates == via full maps when the candidate
+    pack contains ALL valid pixels (same host rng stream)."""
+    from fots.codec import LabelCodec
+    from fots.roirotate import sample_rois
+
+    B, HS = 1, 32
+    H = W = HS * 4
+    codec = LabelCodec()
+    # +1 px vs the raw distances: the reference center decode has a
+    # half-pixel bias kept for parity (ocr_process.py:146-156)
+    quad = np.array([[25, 45], [25, 79], [99, 79], [99, 45]], np.float64)
+    gt_quads = [[quad]]
+    labels = [["word"]]
+    score = np.zeros((B, HS, HS), np.float32)
+    score[:, 11:20, 6:25] = 1.0
+    gt_idx = np.full((B, HS, HS), -1, np.int64)
+    gt_idx[:, 11:20, 6:25] = 0
+    segm = score * 0.9
+    geo = np.zeros((B, HS, HS, 4), np.float32)
+    ys, xs = np.nonzero(score[0] > 0)
+    geo[0, ys, xs] = np.stack([ys - 10.75, 19.25 - ys, xs - 5.75, 24.25 - xs],
+                              -1).astype(np.float32)
+    ang = np.zeros((B, HS, HS, 2), np.float32)
+    ang[..., 1] = 1.0
+
+    rb_map = sample_rois(np.random.default_rng(5), score, gt_idx, gt_quads,
+                         labels, (H, W), codec, segm_pred=segm, geo_pred=geo,
+                         angle_pred=ang, jitter=False)
+
+    # pack ALL valid pixels as candidates (row-major, any order works)
+    flat = (ys * HS + xs).astype(np.float32)
+    rows = np.concatenate([segm[0, ys, xs, None], geo[0, ys, xs],
+                           ang[0, ys, xs], flat[:, None]], -1)
+    k = 512
+    pack = np.full((B, k, 8), -1.0, np.float32)
+    pack[0, :rows.shape[0]] = rows
+    cands = np.transpose(pack, (0, 2, 1))
+    rb_cand = sample_rois(np.random.default_rng(5), score, gt_idx, gt_quads,
+                          labels, (H, W), codec, pred_candidates=cands,
+                          pred_map_hw=(HS, HS), jitter=False)
+    np.testing.assert_allclose(rb_cand.rois, rb_map.rois, rtol=1e-5)
+    assert rb_cand.n_predicted == rb_map.n_predicted > 0
