@@ -19,7 +19,8 @@ import cv2
 import numpy as np
 
 
-def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5):
+def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
+                mixed_precision=False, n_data=None, n_model=1):
     import jax
 
     from fots.checkpoint import (import_torch_state_dict, latest_checkpoint,
@@ -45,7 +46,12 @@ def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5):
         state, step = restore_checkpoint(path, trainer.state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         print(f"restored checkpoint {path} (step {step})")
-    return FOTSInference(model, dict(variables), segm_thresh=segm_thresh)
+    mesh = None
+    if n_data is not None and n_data > 1:
+        from fots.parallel import make_mesh
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+    return FOTSInference(model, dict(variables), segm_thresh=segm_thresh,
+                         mixed_precision=mixed_precision, mesh=mesh)
 
 
 def main(argv=None):

@@ -29,12 +29,19 @@ def main(argv=None):
     parser.add_argument("-height", type=int, default=704)
     parser.add_argument("-width", type=int, default=1280)
     parser.add_argument("-mixed_precision", action="store_true", default=True)
+    parser.add_argument("-f32", dest="mixed_precision", action="store_false",
+                        help="disable bf16 inference")
+    parser.add_argument("-n_data", type=int, default=None,
+                        help="data-parallel serving mesh size (chips)")
+    parser.add_argument("-n_model", type=int, default=1)
     parser.add_argument("-split_words", action="store_true")
     args = parser.parse_args(argv)
 
     from fots.cli.detect import load_engine
 
-    engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh)
+    engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh,
+                         mixed_precision=args.mixed_precision,
+                         n_data=args.n_data, n_model=args.n_model)
     os.makedirs(args.output, exist_ok=True)
 
     paths = sorted(glob.glob(os.path.join(os.path.realpath(args.test_folder), "*.jpg")))
