@@ -52,6 +52,9 @@ class OCRMetrics:
     gt_chars: int = 0
     per_script: Dict[str, List[int]] = field(default_factory=dict)  # [correct, total]
     worst: List[Tuple[int, str, str]] = field(default_factory=list)
+    # gt-script -> predicted-script counts (reference conf_matrix,
+    # ocr_test_utils.py:54,197,245-258)
+    confusion: Dict[Tuple[str, str], int] = field(default_factory=dict)
 
     def add(self, pred: str, gt: str):
         ok = pred == gt
@@ -64,6 +67,8 @@ class OCRMetrics:
         self.per_script.setdefault(s, [0, 0])
         self.per_script[s][0] += int(ok)
         self.per_script[s][1] += 1
+        key = (s, script_of(pred))
+        self.confusion[key] = self.confusion.get(key, 0) + 1
         if d > 0:
             self.worst.append((d, gt, pred))
 
@@ -84,6 +89,15 @@ class OCRMetrics:
     def worst_cases(self, n: int = 20) -> List[Tuple[int, str, str]]:
         return sorted(self.worst, key=lambda x: -x[0])[:n]
 
+    def confusion_matrix(self):
+        """(scripts, [n,n] counts): rows = gt script, cols = predicted."""
+        scripts = sorted({k for pair in self.confusion for k in pair})
+        idx = {s: i for i, s in enumerate(scripts)}
+        m = [[0] * len(scripts) for _ in scripts]
+        for (g, p), c in self.confusion.items():
+            m[idx[g]][idx[p]] = c
+        return scripts, m
+
     def to_csv(self, path: str):
         import csv
 
@@ -94,3 +108,9 @@ class OCRMetrics:
             w.writerow(["ALL", s["accuracy"], s["total"]])
             for k, v in s["per_script"].items():
                 w.writerow([k, v["accuracy"], v["total"]])
+            scripts, m = self.confusion_matrix()
+            if scripts:
+                w.writerow([])
+                w.writerow(["confusion_gt\\pred"] + scripts)
+                for name, row in zip(scripts, m):
+                    w.writerow([name] + row)

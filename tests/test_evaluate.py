@@ -71,3 +71,23 @@ def test_script_of():
     assert script_of("مرحبا") == "Arabic"
     assert script_of("123") == "Digit"
     assert script_of("!!!") == "Other"
+
+
+def test_ocr_confusion_matrix(tmp_path):
+    """Script confusion matrix (reference ocr_test_utils.py:54,197):
+    rows gt script, cols predicted script."""
+    from fots.ocr_eval import OCRMetrics
+
+    m = OCRMetrics()
+    m.add("hello", "hello")       # Latin -> Latin
+    m.add("123", "world")         # Latin gt, Digit pred
+    m.add("42", "42")             # Digit -> Digit
+    scripts, cm = m.confusion_matrix()
+    assert scripts == ["Digit", "Latin"]
+    assert cm[scripts.index("Latin")][scripts.index("Latin")] == 1
+    assert cm[scripts.index("Latin")][scripts.index("Digit")] == 1
+    assert cm[scripts.index("Digit")][scripts.index("Digit")] == 1
+    p = tmp_path / "ocr.csv"
+    m.to_csv(str(p))
+    text = p.read_text()
+    assert "confusion_gt\\pred" in text and "Digit" in text
