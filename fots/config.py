@@ -33,6 +33,8 @@ class Config:
     import_skip: Tuple[str, ...] = ("conv11", "rnn")  # train.py:50
     seed: int = 0
     use_predicted_rois: bool = True
+    ohem: bool = False                # FOTS-paper OHEM score loss (opt-in)
+    geo_type: int = 0                 # 0=edge-distance, 1=row/col-scan targets
 
     # recognition-only training (reference tools/train_ocr.py)
     ocr_feed_list: str = "sample_train_data/MLT_CROPS/gt.txt"
@@ -48,6 +50,8 @@ class Config:
     output: str = "./out"
     scale_up: bool = False
     eval_text_length: int = 3
+    mixed_precision: bool = False     # bf16 backbone/recognizer at inference
+    max_candidates: int = 8192        # on-device NMS candidate cap per image
 
     # mesh
     n_data: Optional[int] = None
