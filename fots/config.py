@@ -7,7 +7,7 @@ train_crnn.py:103-104).  Presets mirror the five BASELINE.json workloads.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional, Tuple
 
 

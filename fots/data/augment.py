@@ -10,7 +10,7 @@ deterministic under a seed (the reference uses global `random`).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

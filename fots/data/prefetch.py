@@ -22,13 +22,20 @@ def _worker(factory: Callable[[int], Iterator], worker_id: int, q, stop_event,
     try:
         gen = factory(worker_id)
         for item in gen:
-            if stop_event.is_set():
-                return
-            # orphan watchdog: if the parent was SIGKILLed, daemon cleanup
-            # never ran — exit instead of spinning forever
-            if os.getppid() != parent_pid:
-                return
-            q.put(item)
+            while True:
+                if stop_event.is_set():
+                    return
+                # orphan watchdog: if the parent was SIGKILLed, daemon
+                # cleanup never ran — exit instead of spinning forever.
+                # put() must use a timeout: a blocking put on a full queue
+                # with a dead consumer would never reach this check again.
+                if os.getppid() != parent_pid:
+                    return
+                try:
+                    q.put(item, timeout=5.0)
+                    break
+                except queue_mod.Full:
+                    continue
     except KeyboardInterrupt:
         pass
     except Exception:

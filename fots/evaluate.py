@@ -10,7 +10,7 @@ distance (exact and <=1), and running precision / recall / hmean totals
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import cv2

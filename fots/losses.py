@@ -19,7 +19,7 @@ by mask-weighted reductions (XLA needs static shapes):
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import jax.numpy as jnp
 import optax

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

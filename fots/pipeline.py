@@ -20,7 +20,6 @@ shapes (use fixed input sizing for throughput serving).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Dict, List, Optional, Tuple
 
 import jax

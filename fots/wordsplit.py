@@ -13,7 +13,6 @@ Here the decode works directly on blank=0 / chars-from-1 LabelCodec ids
 
 from __future__ import annotations
 
-import math
 from typing import List, Tuple
 
 import numpy as np
