@@ -138,25 +138,41 @@ def main():
         nms_segm, nms_geo, nms_angle, MAX_CANDIDATES)
 
     def run(iters):
-        """Software-pipelined serving loop; returns last batch's results."""
-        pending_ids = None  # batch i-1's recognition, decoded during forward i
+        """Software-pipelined serving loop; returns last batch's results.
+
+        Depth-2 prefetch: two detector forwards stay in flight so the
+        ~30 ms tunnel RTT and the host NMS/decode hide behind device work;
+        candidate packs are copied host-side asynchronously as soon as the
+        device produces them.  recognize(i) is dispatched before
+        forward(i+2) so it is not queued behind the next detection batch.
+        """
+        from collections import deque
+
+        inflight = deque()
+        for _ in range(min(2, iters)):
+            c, f = forward(variables, images)
+            c.copy_to_host_async()
+            inflight.append((c, f))
+        pending_ids = None  # batch i-1's recognition, decoded during i
         boxes = texts = None
-        cands_dev, focr = forward(variables, images)   # dispatch batch 0
         for i in range(iters):
-            if i + 1 < iters:
-                next_dev = forward(variables, images)  # dispatch batch i+1
-            if pending_ids is not None:
-                texts = codec.decode_batch(jax.device_get(pending_ids))
-            cands = jax.device_get(cands_dev)            # sync: tiny transfer
+            cands_dev, focr = inflight.popleft()
+            cands = np.asarray(cands_dev)              # usually already home
             # per-image NMS: live candidates (empty here) + the synthetic
             # field standing in for a real ~8-word image
             boxes = [get_boxes_from_candidates(
                          np.where(c[0:1] > 0, c, synth_cands), hs, ws, 0.5)
                      for c in cands]
-            pending_ids = recognize(variables, focr, rois)
-            if i + 1 < iters:
-                cands_dev, focr = next_dev
-        texts = codec.decode_batch(jax.device_get(pending_ids))
+            ids = recognize(variables, focr, rois)
+            ids.copy_to_host_async()
+            if i + 2 < iters:
+                c, f = forward(variables, images)
+                c.copy_to_host_async()
+                inflight.append((c, f))
+            if pending_ids is not None:
+                texts = codec.decode_batch(np.asarray(pending_ids))
+            pending_ids = ids
+        texts = codec.decode_batch(np.asarray(pending_ids))
         return boxes, texts
 
     run(WARMUP)

@@ -1,0 +1,105 @@
+"""Space-to-depth stem: exact-function parity with the canonical path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fots.models import FOTSDetector
+from fots.models.detector import Stem, init_detector
+from fots.ops.s2d import (
+    crelu_instance_norm_s2d,
+    depth_to_space,
+    s2d_conv,
+    space_to_depth,
+)
+
+
+def test_space_to_depth_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+    for f in (2, 4):
+        y = space_to_depth(x, f)
+        assert y.shape == (2, 8 // f, 12 // f, f * f * 5)
+        np.testing.assert_array_equal(np.asarray(depth_to_space(y, f)), np.asarray(x))
+
+
+@pytest.mark.parametrize("stride,f_in,f_out", [(1, 2, 2), (2, 2, 2), (2, 2, 1)])
+def test_s2d_conv_matches_plain_conv(rng, stride, f_in, f_out):
+    """s2d_conv == the canonical SAME conv, up to float reassociation."""
+    h, w, cin, cout, k = 16, 24, 3, 5, 3
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+
+    want = jax.lax.conv_general_dilated(
+        x, kern, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ho, wo = h // stride, w // stride
+    xc = space_to_depth(x, f_in)
+    got = s2d_conv(xc, kern, f_in, f_out, stride, (ho // f_out, wo // f_out))
+    got = depth_to_space(got, f_out) if f_out > 1 else got
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_crelu_instance_norm_s2d_matches_dense(rng):
+    """fused S2D CReLU+IN == concat(x,-x) -> per-channel IN -> leaky."""
+    from fots.ops.instance_norm import instance_norm_jnp
+
+    b, h, w, c = 2, 8, 12, 6
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(2 * c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(2 * c,)).astype(np.float32))
+
+    cat = jnp.concatenate([x, -x], axis=-1)
+    want = instance_norm_jnp(cat, scale, bias, 1e-5, 0.01)
+
+    got = crelu_instance_norm_s2d(space_to_depth(x, 2), scale, bias, 2)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(got, 2)), np.asarray(want), atol=1e-4)
+
+
+def test_stem_s2d_matches_plain(rng):
+    """Whole stem: S2D path == canonical path with the same params."""
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    plain = Stem(s2d=False)
+    s2d = Stem(s2d=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    # identical param trees (names, shapes) in both paths
+    v2 = s2d.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(v2)):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    want = plain.apply(variables, x)
+    got = s2d.apply(variables, x)
+    assert got.shape == want.shape == (2, 16, 24, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_stem_s2d_gradients_flow(rng):
+    """Autodiff reaches the canonical kernels through the S2D derivation."""
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+    stem = Stem(s2d=True)
+    variables = stem.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return jnp.sum(stem.apply({"params": params}, x) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # every conv kernel gets signal
+    assert all(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_detector_s2d_flag_parity(rng):
+    """Full detector: stem_s2d on/off agree (same checkpoint works in both)."""
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32) * 0.3)
+    m1 = FOTSDetector(nclass=11, stem_s2d=True)
+    m0 = FOTSDetector(nclass=11, stem_s2d=False)
+    variables = init_detector(m1, jax.random.PRNGKey(0), image_shape=(1, 64, 64, 3))
+    o1 = m1.apply(variables, x, train=False)
+    o0 = m0.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1["segm"][0]), np.asarray(o0["segm"][0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o1["focr"]), np.asarray(o0["focr"]), atol=1e-4)
