@@ -124,12 +124,13 @@ class Stem(nn.Module):
         # conv0a (3x3 s1, full res) on 1/2-res cells: 12 -> 64ch
         x = s2d_conv(x, k0a, 2, 2, 1, (h2, w2))
         # CReLU+IN of the full-res 32ch tensor, fused, no concat
+        # (half-layout output; consuming convs absorb the permutation)
         x = crelu_instance_norm_s2d(x, s0a, b0a, 2)        # 128ch
         # conv0b (3x3 s2, full -> 1/2) producing 1/2-res repr on 1/4 cells
-        x = s2d_conv(x, k0b, 2, 2, 2, (h4, w4))            # 128ch
+        x = s2d_conv(x, k0b, 2, 2, 2, (h4, w4), crelu_half_in=True)  # 128ch
         x = crelu_instance_norm_s2d(x, s0b, b0b, 2)        # 256ch
         # conv1a (3x3 s1 at 1/2) stays on 1/4-res cells
-        x = nn.relu(s2d_conv(x, k1a, 2, 2, 1, (h4, w4)))   # 256ch
+        x = nn.relu(s2d_conv(x, k1a, 2, 2, 1, (h4, w4), crelu_half_in=True))
         # conv1b (3x3 s2, 1/2 -> 1/4) collapses to the plain 1/4 tensor
         x = s2d_conv(x, k1b, 2, 1, 2, (h4, w4))            # 64ch plain
         return nn.relu(x)

@@ -108,15 +108,34 @@ def s2d_conv_kernel(w, f_in: int, f_out: int, stride: int):
     return big.reshape(k2, k2, f_in * f_in * cin, f_out * f_out * cout)
 
 
-def s2d_conv(x, w, f_in: int, f_out: int, stride: int, out_cells):
+def s2d_conv(x, w, f_in: int, f_out: int, stride: int, out_cells,
+             crelu_half_in: bool = False):
     """Apply the canonical conv ``w`` on the S2D representation ``x``.
 
     x: [B, Hc, Wc, f_in^2*Cin] cells; returns [B, out_cells[0],
     out_cells[1], f_out^2*Cout].
+
+    crelu_half_in: the input uses the HALF channel layout produced by
+    ``crelu_instance_norm_s2d`` (first f_in^2*Cin/2 channels = +x part,
+    rest = -x part, each sub-major) instead of the plain sub-major layout;
+    the derived kernel's input rows are permuted accordingly (free — it
+    happens at kernel-derivation time).
     """
     kernel = w.shape[0]
     k2, pad_lo, s_cell, _ = _s2d_tap_plan(kernel, stride, f_in, f_out)
     wk = s2d_conv_kernel(w, f_in, f_out, stride).astype(x.dtype)
+    if crelu_half_in:
+        fi2 = f_in * f_in
+        cin = w.shape[2]          # canonical input channels (= 2*Corig)
+        corig = cin // 2
+        # half-layout position p holds (u, j): first half j < Corig,
+        # second half j >= Corig; the plain layout stores (u, j) at
+        # u*Cin + j.
+        perm = np.empty(fi2 * cin, np.int32)
+        p = np.arange(fi2 * corig)
+        perm[: fi2 * corig] = (p // corig) * cin + (p % corig)
+        perm[fi2 * corig:] = (p // corig) * cin + corig + (p % corig)
+        wk = wk[:, :, perm, :]
     cells_in = x.shape[1:3]
     pads = []
     for i in range(2):
@@ -133,38 +152,17 @@ def crelu_instance_norm_s2d(x, scale, bias, f: int, eps: float = 1e-5,
 
     Original op (reference CReLU_IN, tools/models.py:42-49):
     ``leaky(IN(concat(x, -x)))`` over an original-resolution [B,H,W,C]
-    tensor.  Here x is its S2D form [B,Hc,Wc,f^2*C]; output is the S2D
-    form of the 2C-channel result ([B,Hc,Wc,f^2*2C], sub-major).
+    tensor.  Here x is its S2D form [B,Hc,Wc,f^2*C]; output is the
+    2C-channel result in the **half layout** (first f^2*C channels = +x
+    part, next f^2*C = -x part, each sub-major) — pass
+    ``crelu_half_in=True`` to the consuming :func:`s2d_conv`.
 
     Reads x once for stats, once for the normalize pass (mean(-x) =
-    -mean(x), var identical — no concat is ever materialized).
-    scale/bias: [2C] affine of the original IN (first C for +x, next C
-    for -x).
+    -mean(x), var identical — no concat is ever materialized); on TPU both
+    passes run as spatially-tiled Pallas kernels
+    (fots/ops/instance_norm.py).  scale/bias: [2C] affine of the original
+    IN (first C for +x, next C for -x).
     """
-    b, hc, wc, cc = x.shape
-    c = cc // (f * f)
-    n = hc * wc * f * f  # original spatial count per channel
-    x32 = x.astype(jnp.float32)
-    # stats per original channel: sum over cells and sub-positions
-    s1 = jnp.sum(x32.reshape(b, hc * wc, f * f, c), axis=(1, 2))
-    s2 = jnp.sum((x32 * x32).reshape(b, hc * wc, f * f, c), axis=(1, 2))
-    mean = s1 / n                                    # [B, C]
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + eps)                  # [B, C]
+    from fots.ops.instance_norm import crelu_instance_norm_half
 
-    scale = scale.astype(jnp.float32)
-    bias = bias.astype(jnp.float32)
-    sp, sn = scale[:c], scale[c:]
-    bp, bn = bias[:c], bias[c:]
-    # y_pos = (x - mu) * rstd * sp + bp ; y_neg = -(x - mu) * rstd * sn + bn
-    m = mean[:, None, None, None, :]
-    r = rstd[:, None, None, None, :]
-    xs = x32.reshape(b, hc, wc, f * f, c)
-    z = (xs - m) * r
-    yp = z * sp + bp
-    yn = -z * sn + bn
-    if negative_slope is not None:
-        yp = jnp.where(yp >= 0, yp, yp * negative_slope)
-        yn = jnp.where(yn >= 0, yn, yn * negative_slope)
-    y = jnp.concatenate([yp, yn], axis=-1)           # [B,Hc,Wc,f^2,2C]
-    return y.reshape(b, hc, wc, f * f * 2 * c).astype(x.dtype)
+    return crelu_instance_norm_half(x, scale, bias, f * f, eps, negative_slope)

@@ -41,6 +41,15 @@ def test_s2d_conv_matches_plain_conv(rng, stride, f_in, f_out):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def _half_to_dense(y_half, f, c):
+    """Map the half-layout S2D output back to the canonical 2C dense form."""
+    b, hc, wc, _ = y_half.shape
+    pos = y_half[..., : f * f * c].reshape(b, hc, wc, f * f, c)
+    neg = y_half[..., f * f * c:].reshape(b, hc, wc, f * f, c)
+    cat = jnp.concatenate([pos, neg], axis=-1)  # sub-major (u, 2C)
+    return depth_to_space(cat.reshape(b, hc, wc, f * f * 2 * c), f)
+
+
 def test_crelu_instance_norm_s2d_matches_dense(rng):
     """fused S2D CReLU+IN == concat(x,-x) -> per-channel IN -> leaky."""
     from fots.ops.instance_norm import instance_norm_jnp
@@ -55,7 +64,33 @@ def test_crelu_instance_norm_s2d_matches_dense(rng):
 
     got = crelu_instance_norm_s2d(space_to_depth(x, 2), scale, bias, 2)
     np.testing.assert_allclose(
-        np.asarray(depth_to_space(got, 2)), np.asarray(want), atol=1e-4)
+        np.asarray(_half_to_dense(got, 2, c)), np.asarray(want), atol=1e-4)
+
+
+def test_crelu_half_pallas_interpret_matches_jnp(rng):
+    """The Pallas two-pass CReLU-IN (interpret mode) == the jnp reference."""
+    from fots.ops.instance_norm import _crelu_half_jnp, crelu_instance_norm_half
+
+    b, h, w, c = 2, 8, 128, 256
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(2 * (c // 4),)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(2 * (c // 4),)).astype(np.float32))
+    want = _crelu_half_jnp(x, scale, bias, 4, 1e-5, 0.01)
+    got = crelu_instance_norm_half(x, scale, bias, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_instance_norm_spatial_interpret_matches_jnp(rng):
+    """The spatially-tiled two-pass IN (interpret mode) == single-pass jnp."""
+    from fots.ops.instance_norm import _instance_norm_spatial, instance_norm_jnp
+
+    b, h, w, c = 2, 16, 128, 128
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    want = instance_norm_jnp(x, scale, bias, 1e-5, 0.01)
+    got = _instance_norm_spatial(x, scale, bias, 1e-5, 0.01, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
 def test_stem_s2d_matches_plain(rng):
