@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument("-segm_thresh", type=float, default=0.5)
     parser.add_argument("-eval_text_length", type=int, default=3)
     parser.add_argument("-scale_up", action="store_true")
+    parser.add_argument("-split_words", action="store_true",
+                        help="emit per-word split boxes as detections "
+                             "(reference eval.py:579-601 process_splits path; "
+                             "multi-word lines match word-level GT)")
     parser.add_argument("-out_json", default=None)
     args = parser.parse_args(argv)
 
@@ -40,12 +44,26 @@ def main(argv=None):
         if im is None:
             continue
         polys, tags, labels = load_annotation(path, im.shape)
-        results, im_resized = engine(im, scale_up=args.scale_up)
+        results, im_resized = engine(im, scale_up=args.scale_up,
+                                     split_words=args.split_words)
         # map GT into resized coordinates
         sy = im_resized.shape[0] / im.shape[0]
         sx = im_resized.shape[1] / im.shape[1]
         gt_rect = (polys * np.array([sx, sy])).reshape(-1, 8) if len(polys) else np.zeros((0, 8))
-        dets = [(r["box"], r["text"]) for r in results]
+        if args.split_words:
+            # note: the reference also computes a 2x-scale second OCR pass
+            # here (eval.py:608-636 labels_pred2) but never consumes it —
+            # dead code, intentionally not reproduced
+            dets = []
+            for r in results:
+                if r.get("words"):
+                    dets.extend((np.concatenate([w["quad"].reshape(8),
+                                                 r["box"][8:9]]), w["text"])
+                                for w in r["words"])
+                else:
+                    dets.append((r["box"], r["text"]))
+        else:
+            dets = [(r["box"], r["text"]) for r in results]
         metrics.add_image(dets, gt_rect, labels,
                           eval_text_length=args.eval_text_length)
         if i % 10 == 0:
