@@ -45,7 +45,18 @@ def main(argv=None):
 
     codec = LabelCodec()
     model = FOTSDetector(nclass=codec.num_classes)
-    mesh = make_mesh(n_data=args.n_data, n_model=args.n_model)
+    n_data = args.n_data
+    if n_data is None:
+        # default data-parallel width: largest device count that divides
+        # the batch (a small batch on a big host mesh must not error)
+        import jax
+
+        avail = max(1, len(jax.devices()) // max(1, args.n_model))
+        n_data = 1
+        for d in range(1, avail + 1):
+            if args.batch_size % d == 0:
+                n_data = d
+    mesh = make_mesh(n_data=n_data, n_model=args.n_model)
     trainer = Trainer(
         model=model,
         codec=codec,

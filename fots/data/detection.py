@@ -57,10 +57,13 @@ def detection_generator(
     rng = np.random.default_rng(seed)
     index = np.arange(image_list.shape[0])
 
+    # accumulates ACROSS epoch passes: with fewer (loadable) images than
+    # batch_size, a per-pass reset would drop the partial batch every pass
+    # and the train generator would never yield
+    batch_items = []
     while True:
         if in_train:
             rng.shuffle(index)
-        batch_items = []
         for i in index:
             item = _load_one(rng, str(image_list[i]), input_size, in_train,
                              allow_empty_frac, geo_type)

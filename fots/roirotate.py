@@ -37,9 +37,14 @@ MAX_LABEL_LEN = 64
 POOLED_HEIGHT = 11  # reference ocr_process.py:260
 
 # coarse bucket grid for TRAINING strips: every distinct width compiles a
-# separate train-step program, so keep the set tiny (inference uses the
-# finer STRIP_BUCKETS grid)
-TRAIN_STRIP_BUCKETS = (64, 128, 256, 512)
+# fresh train step — ~90 s over the remote-compile tunnel — so the grid is
+# just {256, 512}: 256 covers aspect ratios up to ~23 (the reference's
+# dynamic ceil(11*max_aspect) width, ocr_process.py:260-263, applied
+# batch-wide like the reference; padding columns beyond each roi's valid
+# width are zeroed and CTC sees full width for every roi either way), and
+# 512 catches rare extreme-aspect batches.  (Serving uses the finer
+# STRIP_BUCKETS grid — inference programs are cheap to compile.)
+TRAIN_STRIP_BUCKETS = (256, 512)
 
 
 @dataclass

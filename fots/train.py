@@ -65,27 +65,36 @@ def create_train_state(
 
 
 def pack_host_batch(batch, roi_batch) -> tuple:
-    """Flatten the whole host batch into THREE buffers.
+    """Flatten the whole host batch into FOUR compact buffers.
 
-    Slow-link transports pay a large per-transfer floor AND per-byte cost:
-    images travel as uint8 (they are x/128-1 of uint8 pixels, so the
-    round-trip is bit-exact and 4x smaller than f32 — normalization happens
-    on device); the per-image target maps pack into one [B, X] f32 buffer;
-    the roi data into one replicated flat f32 buffer.  int32 label ids
-    round-trip exactly through f32 (values << 2^24).
+    Slow-link transports pay a large per-transfer floor AND per-byte cost
+    (the tunnel to the chip moves ~30 MB/s; a naive f32 batch is the train
+    loop's bottleneck):
+    - images as uint8 (x/128-1 of uint8 pixels: bit-exact round trip, 4x
+      smaller than f32; normalization happens on device);
+    - score map + training mask as one uint8 buffer (both are 0/1: exact);
+    - geometry distances + angle as float16 (quantization ~1e-3 relative,
+      far below augmentation noise; 2x smaller);
+    - roi data as one replicated flat f32 buffer (int32 label ids
+      round-trip exactly through f32, values << 2^24).
     """
     b = batch.images.shape[0]
     images_u8 = np.clip(np.rint((batch.images + 1.0) * 128.0),
                         0, 255).astype(np.uint8)
-    sharded = np.concatenate(
+    maps_u8 = np.concatenate(
         [
-            batch.score_maps.reshape(b, -1).astype(np.float32),
-            batch.training_masks.reshape(b, -1).astype(np.float32),
-            np.ascontiguousarray(batch.geo_maps[..., :4], np.float32).reshape(b, -1),
-            np.ascontiguousarray(batch.geo_maps[..., 4], np.float32).reshape(b, -1),
+            batch.score_maps.reshape(b, -1).astype(np.uint8),
+            batch.training_masks.reshape(b, -1).astype(np.uint8),
         ],
         axis=1,
-    ).astype(np.float32)
+    )
+    maps_f16 = np.concatenate(
+        [
+            np.ascontiguousarray(batch.geo_maps[..., :4], np.float16).reshape(b, -1),
+            np.ascontiguousarray(batch.geo_maps[..., 4], np.float16).reshape(b, -1),
+        ],
+        axis=1,
+    )
     rep = np.concatenate(
         [
             roi_batch.rois.ravel(),
@@ -94,21 +103,21 @@ def pack_host_batch(batch, roi_batch) -> tuple:
             roi_batch.roi_mask,
         ]
     ).astype(np.float32)
-    return images_u8, sharded, rep
+    return images_u8, maps_u8, maps_f16, rep
 
 
-def _unpack_device_batch(images_u8, sharded, rep, input_hw, max_rois, max_label):
+def _unpack_device_batch(images_u8, maps_u8, maps_f16, rep, input_hw,
+                         max_rois, max_label):
     h, w = input_hw
-    b = sharded.shape[0]
+    b = maps_u8.shape[0]
     hs, ws = h // 4, w // 4
-    sizes = [hs * ws, hs * ws, hs * ws * 4, hs * ws]
-    offs = np.cumsum([0] + sizes)
+    n = hs * ws
     batch = {
         "images": images_u8.astype(jnp.float32) / 128.0 - 1.0,
-        "score_maps": sharded[:, offs[0]:offs[1]].reshape(b, hs, ws),
-        "training_masks": sharded[:, offs[1]:offs[2]].reshape(b, hs, ws),
-        "geo_maps": sharded[:, offs[2]:offs[3]].reshape(b, hs, ws, 4),
-        "angle_gt": sharded[:, offs[3]:offs[4]].reshape(b, hs, ws),
+        "score_maps": maps_u8[:, :n].reshape(b, hs, ws).astype(jnp.float32),
+        "training_masks": maps_u8[:, n:].reshape(b, hs, ws).astype(jnp.float32),
+        "geo_maps": maps_f16[:, : n * 4].reshape(b, hs, ws, 4).astype(jnp.float32),
+        "angle_gt": maps_f16[:, n * 4:].reshape(b, hs, ws).astype(jnp.float32),
     }
     r0 = max_rois * 6
     r1 = r0 + max_rois * max_label
@@ -160,10 +169,10 @@ def make_train_step(model: FOTSDetector, multi_scale: bool = True,
 
     @functools.partial(jax.jit, static_argnames=("strip_width", "input_hw"),
                        donate_argnums=(0,))
-    def train_step(state: TrainState, images_u8, sharded, rep, input_hw,
-                   strip_width: int):
-        batch = _unpack_device_batch(images_u8, sharded, rep, input_hw,
-                                     MAX_ROIS, MAX_LABEL_LEN)
+    def train_step(state: TrainState, images_u8, maps_u8, maps_f16, rep,
+                   input_hw, strip_width: int):
+        batch = _unpack_device_batch(images_u8, maps_u8, maps_f16, rep,
+                                     input_hw, MAX_ROIS, MAX_LABEL_LEN)
         rng, new_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -281,6 +290,7 @@ class Trainer:
                                         ohem=ohem)
         self._np_rng = np.random.default_rng(seed)
         self._prev_maps = None  # (candidate pack [B,8,K], (hs, ws)) from prev step
+        self._pending_metrics: list = []
         self.metrics = {k: Averager() for k in
                         ("loss", "segm_loss", "angle_loss", "iou_loss", "ctc_loss")}
 
@@ -288,6 +298,11 @@ class Trainer:
         cands = hw = None
         if self.use_predicted_rois and self._prev_maps is not None:
             pc, phw = self._prev_maps
+            # pc may still be the device array from the previous step
+            # (copied host-side asynchronously); materialize lazily here so
+            # the pull overlaps that step's device execution
+            pc = np.asarray(pc)
+            self._prev_maps = (pc, phw)
             if pc.shape[0] == batch.images.shape[0] and \
                phw == batch.score_maps.shape[1:]:
                 cands, hw = pc, phw
@@ -303,23 +318,47 @@ class Trainer:
             pred_map_hw=hw,
         )
 
-    def step(self, batch) -> Dict[str, float]:
-        """One training step from a host DetectionBatch."""
+    def _prepare(self, batch):
+        """Host side of a step: roi sampling, packing, device upload.
+
+        Runs on the prefetch thread in :meth:`train` so the (slow-link)
+        upload of batch i+1 overlaps batch i's device execution.
+        """
         roi_batch = self._build_roi_batch(batch)
-        images_u8, sharded, rep_buf = pack_host_batch(batch, roi_batch)
-        # exactly three host->device transfers per step (u8 images 4x
-        # smaller than f32; normalization happens on device)
+        images_u8, maps_u8, maps_f16, rep_buf = pack_host_batch(batch, roi_batch)
         bsh = batch_sharding(self.mesh)
         dev = jax.device_put(
-            {"images": images_u8, "sharded": sharded, "rep": rep_buf},
-            {"images": bsh, "sharded": bsh, "rep": replicate(self.mesh)},
+            {"images": images_u8, "maps_u8": maps_u8, "maps_f16": maps_f16,
+             "rep": rep_buf},
+            {"images": bsh, "maps_u8": bsh, "maps_f16": bsh,
+             "rep": replicate(self.mesh)},
         )
+        return roi_batch, dev
+
+    def step(self, batch, defer: bool = False, prepared=None):
+        """One training step from a host DetectionBatch.
+
+        defer=True returns the device-resident metric vector instead of
+        blocking on it (flush with :meth:`drain_metrics`), so the host
+        loop never waits for the device: next-step roi sampling pulls the
+        candidate pack lazily and the metric copies stream home in the
+        background.  Used by :meth:`train` for a fully pipelined loop.
+        """
+        roi_batch, dev = prepared if prepared is not None else self._prepare(batch)
         self.state, metric_vec, cands = self._step_fn(
-            self.state, dev["images"], dev["sharded"], dev["rep"],
-            tuple(batch.images.shape[1:3]), roi_batch.strip_width)
-        # pull the tiny candidate pack for next step's roi sampling
-        self._prev_maps = (np.asarray(cands),
-                           tuple(batch.score_maps.shape[1:3]))
+            self.state, dev["images"], dev["maps_u8"], dev["maps_f16"],
+            dev["rep"], tuple(batch.images.shape[1:3]), roi_batch.strip_width)
+        # candidate pack for next step's roi sampling: start the host copy
+        # now, materialize lazily at the next _build_roi_batch
+        try:
+            cands.copy_to_host_async()
+            metric_vec.copy_to_host_async()
+        except AttributeError:  # non-jax arrays in tests
+            pass
+        self._prev_maps = (cands, tuple(batch.score_maps.shape[1:3]))
+        if defer:
+            self._pending_metrics.append(metric_vec)
+            return None
         vals = np.asarray(metric_vec)  # one transfer for all scalars
         out = {}
         for k, v in zip(METRIC_KEYS, vals):
@@ -327,30 +366,77 @@ class Trainer:
             out[k] = float(v)
         return out
 
+    def drain_metrics(self) -> Dict[str, float]:
+        """Fold deferred metric vectors into the running averagers and
+        return the most recent step's values."""
+        out = {}
+        for mv in self._pending_metrics:
+            vals = np.asarray(mv)
+            out = {}
+            for k, v in zip(METRIC_KEYS, vals):
+                self.metrics[k].add(float(v))
+                out[k] = float(v)
+        self._pending_metrics.clear()
+        return out
+
     def train(self, batches, max_steps: int, log_every: int = 5,
               checkpoint_dir: Optional[str] = None, checkpoint_every: int = 10000):
+        """Pipelined training loop.
+
+        A single prefetch thread runs the host side of step i+1 (roi
+        sampling, packing, the slow-link device upload) while the device
+        executes step i; metric pulls are deferred to log points.  Roi
+        sampling for step i+1 uses step i's candidate pack, pulled lazily
+        on the prefetch thread — the data dependency that bounds pipeline
+        depth at one step, exactly as the serving path allows.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         from fots.checkpoint import save_checkpoint
 
+        pool = ThreadPoolExecutor(max_workers=1)
+        it = iter(batches)
+
+        def _next_prepared():
+            batch = next(it, None)
+            if batch is None:
+                return None
+            return batch, pool.submit(self._prepare, batch)
+
         t0 = time.time()
-        for step_idx, batch in enumerate(batches):
+        pending = _next_prepared()
+        step_idx = -1
+        while pending is not None:
+            step_idx += 1
             if step_idx >= max_steps:
                 break
+            batch, fut = pending
             try:
-                self.step(batch)
+                prepared = fut.result()
+                # dispatch step i, then immediately start preparing i+1 on
+                # the worker (its roi sampling blocks on step i's candidate
+                # pack, which streams home while the device runs)
+                self.step(batch, defer=True, prepared=prepared)
+                pending = _next_prepared()
             except Exception:
                 # reference-style resilience (train.py:85-123) but logged
                 import traceback
 
                 traceback.print_exc()
+                pending = _next_prepared()
                 continue
             if step_idx % log_every == 0:
+                self.drain_metrics()
                 dt = time.time() - t0
                 msg = " ".join(f"{k}: {self.metrics[k].val():.3f}" for k in self.metrics)
                 print(f"step {step_idx} {msg} time {dt:.3f}s", flush=True)
                 t0 = time.time()
             if checkpoint_dir and step_idx > 0 and step_idx % checkpoint_every == 0:
+                self.drain_metrics()
                 save_checkpoint(checkpoint_dir, self.state, step_idx)
                 for avg in self.metrics.values():
                     avg.reset()
+        pool.shutdown(wait=True)
+        self.drain_metrics()
         if checkpoint_dir:
             save_checkpoint(checkpoint_dir, self.state, max_steps)

@@ -70,6 +70,17 @@ def test_detection_generator_synthetic(tmp_path):
     assert any(len(q) > 0 for q in batch.gt_quads)
 
 
+def test_detection_generator_fewer_images_than_batch(tmp_path):
+    """Partial batches must persist across epoch passes: with a 1-image
+    list and batch_size=2 the generator must still yield (regression — a
+    per-pass reset made it spin forever)."""
+    list_path = write_icdar_dataset(str(tmp_path), n_images=1)
+    gen = detection_generator(list_path, input_size=256, batch_size=2, seed=0,
+                              in_train=True)
+    batch = next(gen)
+    assert batch.images.shape[0] == 2
+
+
 def test_detection_generator_eval_mode_terminates(tmp_path):
     list_path = write_icdar_dataset(str(tmp_path), n_images=3)
     gen = detection_generator(list_path, input_size=256, batch_size=2, seed=0,
