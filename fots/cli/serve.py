@@ -45,18 +45,31 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
 
     paths = sorted(glob.glob(os.path.join(os.path.realpath(args.test_folder), "*.jpg")))
+
+    def batches():
+        """Yield (paths, images) chunks; image loading overlaps device work
+        because stream() pulls the next chunk while the chip runs."""
+        for i in range(0, len(paths), args.batch):
+            chunk = paths[i:i + args.batch]
+            images = [cv2.imread(p) for p in chunk]
+            keep = [(p, im) for p, im in zip(chunk, images) if im is not None]
+            if keep:
+                yield keep
+
     total = 0
     t0 = time.perf_counter()
-    for i in range(0, len(paths), args.batch):
-        chunk = paths[i:i + args.batch]
-        images = [cv2.imread(p) for p in chunk]
-        keep = [(p, im) for p, im in zip(chunk, images) if im is not None]
-        if not keep:
-            continue
-        results = engine.batch_call([im for _, im in keep],
-                                    serve_hw=(args.height, args.width),
-                                    split_words=args.split_words)
-        for (p, _im), res in zip(keep, results):
+    kept_chunks = []
+
+    def image_batches():
+        for keep in batches():
+            kept_chunks.append(keep)
+            yield [im for _, im in keep]
+
+    for res_batch in engine.stream(image_batches(),
+                                   serve_hw=(args.height, args.width),
+                                   split_words=args.split_words):
+        keep = kept_chunks.pop(0)
+        for (p, _im), res in zip(keep, res_batch):
             base = os.path.splitext(os.path.basename(p))[0]
             out = [{"box": r["box"].tolist(), "text": r["text"]} for r in res]
             with open(os.path.join(args.output, base + ".json"), "w") as f:

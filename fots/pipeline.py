@@ -270,15 +270,7 @@ class FOTSInference:
 
     # -------- batched serving --------
 
-    def batch_call(self, images_bgr: List[np.ndarray], serve_hw: Tuple[int, int] = (704, 1280),
-                   split_words: bool = False):
-        """Fixed-shape batched serving: letterbox all images to ``serve_hw``
-        (one compiled program regardless of input sizes), detect, then run
-        recognition for ALL images' boxes together in shared width buckets.
-
-        Returns a list (per image) of result lists like :meth:`__call__`,
-        with boxes mapped back to each original image's coordinates.
-        """
+    def _letterbox(self, images_bgr, serve_hw):
         import cv2
 
         H, W = serve_hw
@@ -290,7 +282,32 @@ class FOTSInference:
             nh, nw = int(im.shape[0] * s), int(im.shape[1] * s)
             batch[i, :nh, :nw] = cv2.resize(im, (nw, nh)).astype(np.float32)
             scales.append(s)
-        batch = batch / 128.0 - 1.0
+        return batch / 128.0 - 1.0, scales
+
+    def _dispatch_detect(self, images_norm: np.ndarray):
+        """Dispatch the sparse detection program; returns device handles
+        (cands_dev, focr) without synchronizing."""
+        n = images_norm.shape[0]
+        m = self._pad_to_shards(n)
+        if m != n:
+            images_norm = np.concatenate(
+                [images_norm, np.zeros((m - n,) + images_norm.shape[1:],
+                                       images_norm.dtype)], axis=0)
+        return self._forward_sparse(self.variables, self._put_batch(images_norm))
+
+    def batch_call(self, images_bgr: List[np.ndarray], serve_hw: Tuple[int, int] = (704, 1280),
+                   split_words: bool = False):
+        """Fixed-shape batched serving: letterbox all images to ``serve_hw``
+        (one compiled program regardless of input sizes), detect, then run
+        recognition for ALL images' boxes together in shared width buckets.
+
+        Returns a list (per image) of result lists like :meth:`__call__`,
+        with boxes mapped back to each original image's coordinates.
+        For throughput over many batches use :meth:`stream`, which overlaps
+        host NMS/decoding and transfers with the next batch's device work.
+        """
+        batch, scales = self._letterbox(images_bgr, serve_hw)
+        n = len(images_bgr)
 
         per_image_boxes, focr = self.detect_boxes_batch(batch)
         all_rois = []
@@ -303,18 +320,52 @@ class FOTSInference:
                 buckets.setdefault(strip_width_for_box(w, h), []).append(len(all_rois))
                 all_rois.append(roi)
                 all_keys.append((i, j))
-        texts = [""] * len(all_rois)
-        ids_out = [None] * len(all_rois)
+        jobs = []
         if all_rois:
             rois_arr = np.asarray(all_rois, np.float32)
             for width, idxs in sorted(buckets.items()):
                 sel = self._put_rois(rois_arr[np.asarray(idxs)])
-                ids, _ = self._recognize(self.variables, focr, sel, width)
-                ids = np.asarray(ids)[: len(idxs)]
-                dec = self.codec.decode_batch(ids)
-                for k, ridx in enumerate(idxs):
-                    texts[ridx] = dec[k]
-                    ids_out[ridx] = ids[k]
+                ids_dev, _ = self._recognize(self.variables, focr, sel, width)
+                jobs.append((idxs, ids_dev))
+        return self._recognize_finish(n, per_image_boxes, all_keys, jobs,
+                                      scales, split_words)
+
+    def _recognize_dispatch(self, per_image_boxes, focr):
+        """Dispatch bucketed recognition for all images' boxes; returns
+        (keys, jobs) with device-resident id arrays (no sync)."""
+        all_rois: List = []
+        all_keys: List = []
+        buckets: Dict[int, List[int]] = {}
+        for i, boxes in enumerate(per_image_boxes):
+            for j in range(boxes.shape[0]):
+                roi, w, h = rroi_from_box(boxes[j], i)
+                buckets.setdefault(strip_width_for_box(w, h), []).append(len(all_rois))
+                all_rois.append(roi)
+                all_keys.append((i, j))
+        jobs = []
+        if all_rois:
+            rois_arr = np.asarray(all_rois, np.float32)
+            for width, idxs in sorted(buckets.items()):
+                sel = self._put_rois(rois_arr[np.asarray(idxs)])
+                ids_dev, _ = self._recognize(self.variables, focr, sel, width)
+                try:
+                    ids_dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+                jobs.append((idxs, ids_dev))
+        return all_keys, jobs
+
+    def _recognize_finish(self, n, per_image_boxes, all_keys, jobs, scales,
+                          split_words):
+        """Materialize recognition jobs + assemble per-image results."""
+        texts = [""] * len(all_keys)
+        ids_out: List[Optional[np.ndarray]] = [None] * len(all_keys)
+        for idxs, ids_dev in jobs:
+            ids = np.asarray(ids_dev)[: len(idxs)]
+            dec = self.codec.decode_batch(ids)
+            for k, ridx in enumerate(idxs):
+                texts[ridx] = dec[k]
+                ids_out[ridx] = ids[k]
 
         results = [[] for _ in range(n)]
         for ridx, (i, j) in enumerate(all_keys):
@@ -332,6 +383,52 @@ class FOTSInference:
                                       per_image_boxes[i][j], ids_out[ridx], self.codec)]
             results[i].append(entry)
         return results
+
+    # -------- pipelined streaming serving --------
+
+    def stream(self, batch_iter, serve_hw: Tuple[int, int] = (704, 1280),
+               split_words: bool = False):
+        """Software-pipelined serving over an iterable of image-BGR lists.
+
+        Yields one :meth:`batch_call`-format results list per input batch.
+        Two detector forwards stay in flight so host NMS/decoding and the
+        link round trip hide behind device work, and each batch's
+        recognition is dispatched before the next forward — the structure
+        that reaches chip-bound throughput in bench.py (vs the reference's
+        strictly sequential per-image loop, test.py:74-127).
+        """
+        from collections import deque
+
+        hs, ws = serve_hw[0] // 4, serve_hw[1] // 4
+        it = iter(batch_iter)
+        inflight = deque()
+
+        def pull():
+            item = next(it, None)
+            if item is None:
+                return False
+            batch, scales = self._letterbox(item, serve_hw)
+            cands_dev, focr = self._dispatch_detect(batch)
+            try:
+                cands_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            inflight.append((len(item), scales, cands_dev, focr))
+            return True
+
+        if pull():
+            pull()
+        while inflight:
+            n, scales, cands_dev, focr = inflight.popleft()
+            cands = np.asarray(cands_dev)
+            boxes = [get_boxes_from_candidates(cands[i], hs, ws,
+                                               self.segm_thresh,
+                                               self.iou_th1, self.iou_th2)
+                     for i in range(n)]
+            keys, jobs = self._recognize_dispatch(boxes, focr)
+            pull()  # next forward overlaps this batch's materialization
+            yield self._recognize_finish(n, boxes, keys, jobs, scales,
+                                         split_words)
 
     # -------- fused end-to-end --------
 

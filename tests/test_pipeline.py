@@ -92,3 +92,20 @@ def test_batch_call_serving(engine, rng):
             # letterbox padding); just require finite, rescaled output
             assert np.isfinite(r["box"][:8]).all()
             assert isinstance(r["text"], str)
+
+
+def test_stream_matches_batch_call(engine, rng):
+    """The pipelined stream() must produce exactly batch_call's results."""
+    batches = [[(rng.uniform(0, 255, (70, 100, 3))).astype(np.uint8),
+                (rng.uniform(0, 255, (120, 80, 3))).astype(np.uint8)]
+               for _ in range(3)]
+    want = [engine.batch_call(b, serve_hw=(96, 128)) for b in batches]
+    got = list(engine.stream(iter(batches), serve_hw=(96, 128)))
+    assert len(got) == len(want)
+    for gb, wb in zip(got, want):
+        assert len(gb) == len(wb)
+        for gres, wres in zip(gb, wb):
+            assert len(gres) == len(wres)
+            for g, w in zip(gres, wres):
+                np.testing.assert_allclose(g["box"], w["box"], atol=1e-5)
+                assert g["text"] == w["text"]
