@@ -22,6 +22,8 @@ def main(argv=None):
     parser.add_argument("-arch", choices=("fots", "crnn"), default="fots")
     parser.add_argument("-norm_height", type=int, default=44)
     parser.add_argument("-out_csv", default=None)
+    parser.add_argument("-out_html", default=None,
+                        help="HTML report (reference ocr_test_utils vis_html)")
     parser.add_argument("-worst", type=int, default=10)
     args = parser.parse_args(argv)
 
@@ -53,6 +55,8 @@ def main(argv=None):
         print(f"  ed={d}  gt={gt!r}  pred={pred!r}")
     if args.out_csv:
         metrics.to_csv(args.out_csv)
+    if args.out_html:
+        metrics.to_html(args.out_html, n_worst=max(args.worst, 50))
 
 
 if __name__ == "__main__":

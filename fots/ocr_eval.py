@@ -3,9 +3,9 @@
 Re-implements the metric surface of the reference
 (tools/ocr_test_utils.py:26-296, tools/test_crnn.py:118-141): exact-match
 accuracy, total/mean edit distance, and per-script (Latin / Arabic / CJK /
-Digit / ...) accuracy tables classified via unicodedata, with optional CSV
-output.  The HTML worst-case report is replaced by a plain sorted list of
-the worst predictions.
+Digit / ...) accuracy tables classified via unicodedata, with optional
+CSV output and an HTML worst-case report (``to_html``, optionally
+embedding crop images like the reference's vis_html).
 """
 
 from __future__ import annotations
@@ -97,6 +97,44 @@ class OCRMetrics:
         for (g, p), c in self.confusion.items():
             m[idx[g]][idx[p]] = c
         return scripts, m
+
+    def to_html(self, path: str, n_worst: int = 50,
+                images: Dict[str, str] = None):
+        """HTML report: summary, per-script table, worst predictions
+        (reference ocr_test_utils.py:228-294 writes a pandas-styled HTML of
+        the worst cases with crop thumbnails; ``images`` maps gt text ->
+        image path to inline thumbnails the same way).
+        """
+        import html as _html
+
+        s = self.summary()
+        rows = []
+        for d, gt, pred in self.worst_cases(n_worst):
+            img = ""
+            if images and gt in images:
+                img = f'<img src="{_html.escape(images[gt])}" height="32">'
+            rows.append(
+                f"<tr><td>{img}</td><td>{_html.escape(gt)}</td>"
+                f"<td>{_html.escape(pred)}</td><td>{d}</td></tr>")
+        script_rows = "".join(
+            f"<tr><td>{_html.escape(k)}</td><td>{v['accuracy']:.4f}</td>"
+            f"<td>{v['total']}</td></tr>"
+            for k, v in s["per_script"].items())
+        doc = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>recognition eval</title>
+<style>table{{border-collapse:collapse}}td,th{{border:1px solid #999;padding:2px 8px}}</style>
+</head><body>
+<h2>Summary</h2>
+<p>accuracy {s['accuracy']:.4f} &middot; total {s['total']} &middot;
+edit distance {s['edit_distance']} &middot; CER {s['cer']:.4f}</p>
+<h2>Per-script accuracy</h2>
+<table><tr><th>script</th><th>accuracy</th><th>total</th></tr>{script_rows}</table>
+<h2>Worst predictions</h2>
+<table><tr><th>crop</th><th>gt</th><th>pred</th><th>edit dist</th></tr>
+{''.join(rows)}</table>
+</body></html>"""
+        with open(path, "w") as f:
+            f.write(doc)
 
     def to_csv(self, path: str):
         import csv

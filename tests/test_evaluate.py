@@ -91,3 +91,20 @@ def test_ocr_confusion_matrix(tmp_path):
     m.to_csv(str(p))
     text = p.read_text()
     assert "confusion_gt\\pred" in text and "Digit" in text
+
+
+def test_ocr_html_report(tmp_path):
+    """HTML worst-case report (reference ocr_test_utils.py:228-294)."""
+    from fots.ocr_eval import OCRMetrics
+
+    m = OCRMetrics()
+    m.add("HELLO", "HELLO")
+    m.add("HELP", "HELLO")
+    m.add("<bad&>", "safe")
+    p = tmp_path / "report.html"
+    m.to_html(str(p), images={"HELLO": "crop0.png"})
+    text = p.read_text()
+    assert "Worst predictions" in text
+    assert "HELP" in text and "crop0.png" in text
+    assert "&lt;bad&amp;&gt;" in text  # escaped
+    assert "accuracy" in text
