@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, List, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -219,9 +220,32 @@ class FOTSDetector(nn.Module):
         self.ocr = RecognitionHead(self.nclass, name="ocr")
 
     def _heads(self, x):
-        segm = nn.sigmoid(self.act_head(x))
-        rbox = nn.sigmoid(self.rbox_head(x)) * 128.0
-        angle = nn.sigmoid(self.angle_head(x)) * 2.0 - 1.0
+        if self.is_initializing():
+            # create the three convs' params with their canonical trees
+            out = jnp.concatenate(
+                [self.act_head(x), self.rbox_head(x), self.angle_head(x)],
+                axis=-1)
+        else:
+            # one fused 1x1 conv over the concatenated head kernels instead
+            # of three separate convs: the 256ch input tensor is read once,
+            # not three times (exact same math, derived at trace time;
+            # dtype promotion mirrors nn.Conv so f32 head params keep the
+            # geometry in f32 under bf16 inference)
+            k = jnp.concatenate(
+                [self.act_head.variables["params"]["kernel"],
+                 self.rbox_head.variables["params"]["kernel"],
+                 self.angle_head.variables["params"]["kernel"]], axis=-1)
+            b = jnp.concatenate(
+                [self.act_head.variables["params"]["bias"],
+                 self.rbox_head.variables["params"]["bias"],
+                 self.angle_head.variables["params"]["bias"]], axis=-1)
+            dt = jnp.promote_types(x.dtype, k.dtype)
+            out = jax.lax.conv_general_dilated(
+                x.astype(dt), k.astype(dt), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(dt)
+        segm = nn.sigmoid(out[..., 0:1])
+        rbox = nn.sigmoid(out[..., 1:5]) * 128.0
+        angle = nn.sigmoid(out[..., 5:7]) * 2.0 - 1.0
         # eps guards the 0/0 at exactly-zero activations (the reference
         # divides unguarded, models.py:453-455)
         den = jnp.sqrt(jnp.sum(angle * angle, axis=-1, keepdims=True) + 1e-12)
