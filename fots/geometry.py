@@ -378,16 +378,28 @@ def decode_candidates_np(
 ):
     """Quad decode for already-gathered candidate pixels (the core of
     :func:`decode_quads_np`; same math as reference nms/adaptor.cpp:70-113).
-    Returns (quads [N,4,2], corner_probs [N,4])."""
-    xp = xs + 0.25
-    yp = ys + 0.25
+    Returns (quads [N,4,2], corner_probs [N,4]).
 
-    pos_r_x = (xp - r[:, 2] * a_cos) * scale_factor
-    pos_r_y = (yp - r[:, 2] * a_sin) * scale_factor
-    pos_r2_x = (xp + r[:, 3] * a_cos) * scale_factor
-    pos_r2_y = (yp + r[:, 3] * a_sin) * scale_factor
+    Byte-parity note: the reference decodes in C *float32* (`expf`,
+    `roundf`, f32 products), so every step here is forced to f32 with the
+    same association order — f64 NumPy math lands one 1e-4 fixed-point
+    unit off after rounding.  `roundf` rounds half away from zero, not
+    half-to-even like ``np.round``.
+    """
+    f32 = np.float32
+    r = np.asarray(r, f32)
+    a_sin = np.asarray(a_sin, f32)
+    a_cos = np.asarray(a_cos, f32)
+    xp = xs.astype(f32) + f32(0.25)
+    yp = ys.astype(f32) + f32(0.25)
+    sf = f32(scale_factor)
+    prec = f32(precision)
 
-    sf = scale_factor
+    pos_r_x = (xp - r[:, 2] * a_cos) * sf
+    pos_r_y = (yp - r[:, 2] * a_sin) * sf
+    pos_r2_x = (xp + r[:, 3] * a_cos) * sf
+    pos_r2_y = (yp + r[:, 3] * a_sin) * sf
+
     quads = np.stack(
         [
             np.stack([pos_r_x - r[:, 1] * a_sin * sf, pos_r_y + r[:, 1] * a_cos * sf], -1),
@@ -397,13 +409,17 @@ def decode_candidates_np(
         ],
         axis=1,
     )
-    quads = np.round(quads * precision) / precision
+    fp = prec * quads                                    # f32, like adaptor.cpp:101-106
+    fp = np.copysign(np.floor(np.abs(fp) + f32(0.5)), fp)  # roundf: half away from zero
+    quads = fp.astype(np.float64) / float(precision)
 
-    ph = 9.0
-    p_left = np.exp(-r[:, 2] / ph)
-    p_top = np.exp(-r[:, 0] / ph)
-    p_right = np.exp(-r[:, 3] / ph)
-    p_bt = np.exp(-r[:, 1] / ph)
+    # expf args are f32 divisions (adaptor.cpp:93-99); the exp itself is
+    # evaluated in f64 and rounded, matching glibc's correctly-rounded expf
+    ph = f32(9.0)
+    p_left = np.exp((-(r[:, 2]) / ph).astype(np.float64)).astype(f32)
+    p_top = np.exp((-(r[:, 0]) / ph).astype(np.float64)).astype(f32)
+    p_right = np.exp((-(r[:, 3]) / ph).astype(np.float64)).astype(f32)
+    p_bt = np.exp((-(r[:, 1]) / ph).astype(np.float64)).astype(f32)
     probs = np.stack([p_left * p_bt, p_left * p_top, p_right * p_top, p_right * p_bt], -1)
     return quads, probs
 

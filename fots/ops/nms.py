@@ -128,37 +128,40 @@ class _PolyNP:
 
     def __init__(self, q, score, probs, x, y):
         self.q = q  # [4,2] int64 fixed point
-        self.score = float(score)
-        self.probs = probs.astype(np.float64)
+        self.score = np.float32(score)
+        self.probs = probs.astype(np.float32)
         self.x = int(x)
         self.y = int(y)
 
 
 def _merge_np(target: _PolyNP, incoming: _PolyNP, incoming_first: bool) -> _PolyNP:
+    # parity with reference PolyMerger (nms.h:45-110): all float math is
+    # f32, and each `data[j] += X * prob` converts the int64 accumulator
+    # to f32, adds the f32 product, and truncates back (C implicit
+    # conversions) — see native/nms_core.cpp Merger::add
+    f32 = np.float32
     seq = (incoming, target) if incoming_first else (target, incoming)
     data = np.zeros(8, np.int64)
-    probs = np.zeros(4, np.float64)
-    score = 0.0
+    probs = np.zeros(4, f32)
+    score = f32(0.0)
+    ji = ((0, 0, 0), (1, 0, 3), (2, 1, 0), (3, 1, 1),
+          (4, 2, 2), (5, 2, 1), (6, 3, 2), (7, 3, 3))
     for p in seq:
-        data[0] += np.int64(p.q[0, 0] * p.probs[0])
-        data[1] += np.int64(p.q[0, 1] * p.probs[3])
-        data[2] += np.int64(p.q[1, 0] * p.probs[0])
-        data[3] += np.int64(p.q[1, 1] * p.probs[1])
-        data[4] += np.int64(p.q[2, 0] * p.probs[2])
-        data[5] += np.int64(p.q[2, 1] * p.probs[1])
-        data[6] += np.int64(p.q[3, 0] * p.probs[2])
-        data[7] += np.int64(p.q[3, 1] * p.probs[3])
-        score += p.score
-        probs += p.probs
+        pq = p.q.astype(f32)
+        for j, corner, pk in ji:
+            axis = j & 1  # even slots are X, odd are Y
+            data[j] = np.int64(f32(data[j]) + pq[corner, axis] * p.probs[pk])
+        score = f32(score + p.score)
+        probs = probs + p.probs
     q = np.zeros((4, 2), np.int64)
-    q[0, 0] = np.int64(data[0] / probs[0])
-    q[0, 1] = np.int64(data[1] / probs[3])
-    q[1, 0] = np.int64(data[2] / probs[0])
-    q[1, 1] = np.int64(data[3] / probs[1])
-    q[2, 0] = np.int64(data[4] / probs[2])
-    q[2, 1] = np.int64(data[5] / probs[1])
-    q[3, 0] = np.int64(data[6] / probs[2])
-    q[3, 1] = np.int64(data[7] / probs[3])
+    q[0, 0] = np.int64(f32(data[0]) / probs[0])
+    q[0, 1] = np.int64(f32(data[1]) / probs[3])
+    q[1, 0] = np.int64(f32(data[2]) / probs[0])
+    q[1, 1] = np.int64(f32(data[3]) / probs[1])
+    q[2, 0] = np.int64(f32(data[4]) / probs[2])
+    q[2, 1] = np.int64(f32(data[5]) / probs[1])
+    q[3, 0] = np.int64(f32(data[6]) / probs[2])
+    q[3, 1] = np.int64(f32(data[7]) / probs[3])
     return _PolyNP(q, score, probs, 0, 0)
 
 

@@ -122,14 +122,18 @@ struct Merger {
     std::memset(probs, 0, sizeof(probs));
   }
   void add(const Poly& p) {
-    data[0] += (long long)(p.x_[0] * p.probs[0]);
-    data[1] += (long long)(p.y_[0] * p.probs[3]);
-    data[2] += (long long)(p.x_[1] * p.probs[0]);
-    data[3] += (long long)(p.y_[1] * p.probs[1]);
-    data[4] += (long long)(p.x_[2] * p.probs[2]);
-    data[5] += (long long)(p.y_[2] * p.probs[1]);
-    data[6] += (long long)(p.x_[3] * p.probs[2]);
-    data[7] += (long long)(p.y_[3] * p.probs[3]);
+    // parity: the reference's `int64 data[j] += cInt * float` (nms.h:57-67)
+    // converts the accumulator to f32, adds the f32 product, and truncates
+    // back each time — reproduce that exact round-trip, NOT clean int64
+    // accumulation (they differ by a few fixed-point units on chains)
+    data[0] = (long long)((float)data[0] + (float)p.x_[0] * p.probs[0]);
+    data[1] = (long long)((float)data[1] + (float)p.y_[0] * p.probs[3]);
+    data[2] = (long long)((float)data[2] + (float)p.x_[1] * p.probs[0]);
+    data[3] = (long long)((float)data[3] + (float)p.y_[1] * p.probs[1]);
+    data[4] = (long long)((float)data[4] + (float)p.x_[2] * p.probs[2]);
+    data[5] = (long long)((float)data[5] + (float)p.y_[2] * p.probs[1]);
+    data[6] = (long long)((float)data[6] + (float)p.x_[3] * p.probs[2]);
+    data[7] = (long long)((float)data[7] + (float)p.y_[3] * p.probs[3]);
     score += p.score;
     for (int i = 0; i < 4; i++) probs[i] += p.probs[i];
   }
