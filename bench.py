@@ -15,20 +15,37 @@ i's host NMS + text decode overlap batch i+1's device forward; each
 batch's recognition is dispatched only after its own NMS completes.
 
 No pretrained weights are published by the reference, so the benchmark
-runs with deterministically-initialized weights and a calibrated score
-bias; the recognition stage processes a fixed 20 boxes/image at the
-128-wide strip bucket, and the NMS stage runs on a realistic synthetic
-candidate field (~8 words) so every stage's cost is represented.
+runs with deterministically-initialized weights; the synthetic config
+biases the score head to -4 (empty live maps) and charges a fixed 20
+boxes/image at the 128-wide strip bucket plus a realistic ~8-word
+synthetic NMS field, so every stage's cost is represented at a controlled
+load.  The real-image config runs the actual serving engine
+(fots.pipeline.FOTSInference.stream) over the 11 ICDAR2015 images in
+/root/reference/data/example_image with the score bias calibrated to a
+realistic candidate density — live NMS, variable box counts, real strip
+bucket mix.
 
 Prints ONE JSON line:
   {"metric": "icdar2015_e2e_images_per_sec", "value": N,
-   "unit": "images/sec", "vs_baseline": N / 22.0}
-vs_baseline anchors on the FOTS paper's 22.0 fps real-time figure on a
-TitanX (arXiv:1801.01671; the reference repo publishes no numbers —
-BASELINE.md).
+   "unit": "images/sec", "vs_baseline": N / 22.0, "median": N,
+   "extra": {...}}
+- value is best-of-3 (the tunnel to the chip varies ~1.5x between
+  identical runs; noise only ever slows a pass), median is the median
+  pass so the number is interpretable (see README "Performance").
+- vs_baseline anchors on the FOTS paper's 22.0 fps real-time figure on a
+  TitanX (arXiv:1801.01671): the reference repo itself publishes no
+  numbers (BASELINE.md), so this is a literature anchor, not a measured
+  reference-GPU baseline.
+- extra carries: real-image e2e img/s, RoIRotate crops/sec, recognition
+  crops/sec, detector-forward MFU, and a device-vs-wall stage profile.
+
+`python bench.py --train` additionally times the joint train step
+(BASELINE config 5) — excluded from the default run because its remote
+compile is the slowest single program.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -45,6 +62,8 @@ ITERS = 8
 DEPTH = 3                 # in-flight detector forwards (rides out the
                           # tunnel's RTT spikes; 2 suffices on a quiet link)
 MIXED_PRECISION = True    # bf16 backbone/recognizer, f32 geometry heads
+EXAMPLE_DIR = "/root/reference/data/example_image"
+V5E_PEAK_BF16_FLOPS = 197e12   # v5e chip peak (jax-ml.github.io/scaling-book)
 
 
 def _synthetic_nms_maps():
@@ -79,6 +98,28 @@ def _pack_synthetic_candidates(segm, geo, angle, k, thresh=0.5):
     return np.ascontiguousarray(out.T)
 
 
+def _sync(x):
+    """True device sync: device_get a reduction of x.
+
+    jax.block_until_ready does not reliably block over the axon tunnel
+    (timing with it reports absurd sub-ms numbers); only materializing a
+    value on the host proves the program ran.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return float(jax.device_get(jnp.sum(x.astype(jnp.float32))))
+
+
+def _best_median(fn, n=3):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts), sorted(ts)[len(ts) // 2]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -92,16 +133,17 @@ def main():
 
     from fots.pipeline import cast_params_bf16
 
+    extra = {}
     codec = LabelCodec()
     model = FOTSDetector(nclass=codec.num_classes)
-    variables = init_detector(model, jax.random.PRNGKey(0),
-                              image_shape=(1, H, W, 3))
-    # calibrate: empty score map from the live forward (NMS cost is charged
-    # separately on the synthetic candidate field below)
-    variables["params"]["act"]["bias"] = jnp.full_like(
-        variables["params"]["act"]["bias"], -4.0)
-    if MIXED_PRECISION:
-        variables = cast_params_bf16(dict(variables))
+    variables_f32 = init_detector(model, jax.random.PRNGKey(0),
+                                  image_shape=(1, H, W, 3))
+    # synthetic config: empty live score map (NMS cost charged separately
+    # on the synthetic candidate field below)
+    variables_f32["params"]["act"]["bias"] = jnp.full_like(
+        variables_f32["params"]["act"]["bias"], -4.0)
+    variables = (cast_params_bf16(dict(variables_f32))
+                 if MIXED_PRECISION else variables_f32)
 
     @jax.jit
     def forward(variables, images):
@@ -180,20 +222,210 @@ def main():
     run(WARMUP)
 
     # the axon tunnel to the chip shares a congested link: identical runs
-    # vary ~1.5x.  Take the best of 3 passes — noise only ever slows.
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run(ITERS)
-        dt = min(dt, (time.perf_counter() - t0) / ITERS)
+    # vary ~1.5x.  Take the best of 3 passes — noise only ever slows —
+    # and report the median alongside.
+    best, med = _best_median(lambda: run(ITERS))
+    ips = BATCH * ITERS / best
+    ips_med = BATCH * ITERS / med
 
-    ips = BATCH / dt
+    # ---- stage profile: wall time per dispatch vs link RTT ----
+    try:
+        tiny = jnp.zeros((), jnp.float32)
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jax.device_get(tiny + 1.0))
+            rtts.append(time.perf_counter() - t0)
+        rtt = sorted(rtts)[2]
+
+        def fwd_once():
+            c, f = forward(variables, images)
+            _sync(c)
+
+        def rec_once():
+            _sync(recognize(variables, focr_hold, rois))
+
+        _, focr_hold = forward(variables, images)
+        fwd_best, _ = _best_median(fwd_once)
+        rec_best, _ = _best_median(rec_once)
+        extra["profile"] = {
+            "link_rtt_ms": round(rtt * 1e3, 2),
+            "forward_batch16_wall_ms": round(fwd_best * 1e3, 2),
+            "recognize_320rois_wall_ms": round(rec_best * 1e3, 2),
+            "e2e_batch_wall_ms": round(best / ITERS * 1e3, 2),
+            # chip idle fraction within the e2e loop: device work per batch
+            # (forward+recognize, RTT removed) vs e2e wall per batch
+            "device_est_ms_per_batch": round(
+                max(fwd_best - rtt, 0) * 1e3 + max(rec_best - rtt, 0) * 1e3, 2),
+        }
+    except Exception as e:  # profile is advisory; never sink the bench
+        extra["profile_error"] = repr(e)
+
+    # ---- detector MFU (analytic: XLA-reported flops / wall) ----
+    try:
+        lowered = forward.lower(variables, images)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0 and "profile" in extra:
+            dev_s = max(extra["profile"]["forward_batch16_wall_ms"] / 1e3
+                        - rtt, 1e-6)
+            extra["detector_mfu_pct"] = round(
+                100.0 * flops / dev_s / V5E_PEAK_BF16_FLOPS, 2)
+            extra["detector_gflops_batch16"] = round(flops / 1e9, 1)
+    except Exception as e:
+        extra["mfu_error"] = repr(e)
+
+    # ---- RoIRotate crops/sec (BASELINE config 1) ----
+    try:
+        @jax.jit
+        def rroi_only(focr, rois):
+            return rroi_align(focr, rois, POOLED_HEIGHT, STRIP_W, 0.25)
+
+        _, focr_hold = forward(variables, images)
+        _sync(rroi_only(focr_hold, rois))
+        rr_best, _ = _best_median(lambda: _sync(rroi_only(focr_hold, rois)))
+        extra["rroi_crops_per_sec"] = round(n_total / max(rr_best - rtt, 1e-6))
+        extra["recognition_crops_per_sec"] = round(
+            n_total / max(extra["profile"]["recognize_320rois_wall_ms"] / 1e3
+                          - rtt, 1e-6))
+    except Exception as e:
+        extra["rroi_error"] = repr(e)
+
+    # ---- real-image e2e: the actual serving engine over ICDAR2015 ----
+    try:
+        extra["real_images"] = _bench_real_images(model, variables_f32, codec)
+    except Exception as e:
+        extra["real_images_error"] = repr(e)
+
+    if "--train" in sys.argv:
+        try:
+            extra["joint_train"] = _bench_joint_train()
+        except Exception as e:
+            extra["train_error"] = repr(e)
+
     print(json.dumps({
         "metric": "icdar2015_e2e_images_per_sec",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / 22.0, 3),
+        "median": round(ips_med, 3),
+        "extra": extra,
     }))
+
+
+def _bench_real_images(model, variables_f32, codec):
+    """Run FOTSInference.stream over the 11 real example images with the
+    score bias calibrated to a realistic candidate density (the weights
+    are random — no pretrained checkpoint exists — so the *load* is made
+    realistic instead: live NMS on ~1e3 candidate pixels/image, real
+    bucket mix from whatever boxes the NMS produces)."""
+    import glob
+
+    import cv2
+    import jax.numpy as jnp
+
+    from fots.pipeline import FOTSInference
+
+    paths = sorted(glob.glob(EXAMPLE_DIR + "/*.jpg"))
+    if not paths:
+        return {"skipped": "no example images"}
+    imgs = [cv2.imread(p) for p in paths]
+    imgs = [im for im in imgs if im is not None]
+
+    engine = FOTSInference(model, variables_f32, codec=codec,
+                           mixed_precision=MIXED_PRECISION,
+                           max_candidates=MAX_CANDIDATES)
+    target = (200, 4000)  # candidate pixels per image, realistic text load
+    bias, lo_b, hi_b = -2.0, -8.0, 2.0
+    dens = None
+    probe = [imgs[j % len(imgs)] for j in range(BATCH)]
+    for _ in range(8):   # bisect the bias to the target density band
+        # mutate the device-resident bias in place: same engine, same
+        # compiled program (shapes unchanged), just new head bias
+        eb = engine.variables["params"]["act"]["bias"]
+        engine.variables["params"]["act"]["bias"] = jnp.full_like(eb, bias)
+        batch, _ = engine._letterbox(probe, (H, W))
+        cands, _f = engine._dispatch_detect(batch)
+        c = np.asarray(cands)
+        dens = float((c[:, 0, :] > 0).sum(axis=1).mean())
+        if dens < target[0]:
+            lo_b = bias
+        elif dens > target[1]:
+            hi_b = bias
+        else:
+            break
+        bias = (lo_b + hi_b) / 2
+    n_pass_imgs = len(imgs)
+
+    def batches(n_batches):
+        k = 0
+        for _ in range(n_batches):
+            chunk = [imgs[(k + j) % n_pass_imgs] for j in range(BATCH)]
+            k = (k + BATCH) % n_pass_imgs
+            yield chunk
+
+    def run(n_batches):
+        total = 0
+        for res in engine.stream(batches(n_batches), serve_hw=(H, W)):
+            total += len(res)
+        return total
+
+    run(2)  # warm all strip buckets the live boxes hit
+    n_batches = 6
+    best, med = _best_median(lambda: run(n_batches))
+    n_img = n_batches * BATCH
+    n_boxes = sum(len(engine(im)) for im in imgs[:3]) / 3.0
+    return {
+        "images_per_sec": round(n_img / best, 2),
+        "images_per_sec_median": round(n_img / med, 2),
+        "score_bias": round(bias, 3),
+        "candidate_pixels_per_image": round(dens),
+        "boxes_per_image_sample": round(n_boxes, 1),
+    }
+
+
+def _bench_joint_train():
+    """Joint train-step img/s at the documented 8x512x512 config
+    (BASELINE config 5).  Separate flag: slowest remote compile."""
+    from fots.codec import LabelCodec
+    from fots.data.detection import DetectionBatch
+    from fots.models import FOTSDetector
+    from fots.train import Trainer
+
+    b, size = 8, 512
+    hs = size // 4
+    codec = LabelCodec()
+    model = FOTSDetector(nclass=codec.num_classes)
+    trainer = Trainer(model=model, codec=codec, input_size=size, seed=0)
+    rng = np.random.default_rng(0)
+    quads = [[np.array([[60, 60], [60, 120], [400, 120], [400, 60]], np.float64)]
+             for _ in range(b)]
+    labels = [["BENCH"] for _ in range(b)]
+    score = np.zeros((b, hs, hs), np.float32)
+    score[:, 18:28, 18:96] = 1.0
+    gt_idx = np.full((b, hs, hs), -1, np.int64)
+    gt_idx[:, 18:28, 18:96] = 0
+    batch = DetectionBatch(
+        images=rng.standard_normal((b, size, size, 3)).astype(np.float32) * 0.1,
+        image_fns=["bench"] * b,
+        score_maps=score,
+        geo_maps=rng.uniform(0, 8, (b, hs, hs, 5)).astype(np.float32),
+        training_masks=np.ones((b, hs, hs), np.uint8),
+        gt_idxs=gt_idx,
+        gt_quads=quads,
+        labels=labels,
+    )
+    trainer.step(batch)  # compile
+    t = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        trainer.step(batch)
+        t.append(time.perf_counter() - t0)
+    dt = min(t)
+    return {"images_per_sec": round(b / dt, 2),
+            "step_wall_ms": round(dt * 1e3, 1)}
 
 
 if __name__ == "__main__":

@@ -58,17 +58,15 @@ def main(argv=None):
 
     total = 0
     t0 = time.perf_counter()
-    kept_chunks = []
 
     def image_batches():
         for keep in batches():
-            kept_chunks.append(keep)
-            yield [im for _, im in keep]
+            yield keep, [im for _, im in keep]
 
-    for res_batch in engine.stream(image_batches(),
-                                   serve_hw=(args.height, args.width),
-                                   split_words=args.split_words):
-        keep = kept_chunks.pop(0)
+    for keep, res_batch in engine.stream(image_batches(),
+                                         serve_hw=(args.height, args.width),
+                                         split_words=args.split_words,
+                                         with_context=True):
         for (p, _im), res in zip(keep, res_batch):
             base = os.path.splitext(os.path.basename(p))[0]
             out = [{"box": r["box"].tolist(), "text": r["text"]} for r in res]

@@ -70,6 +70,14 @@ def conv(features, kernel=(3, 3), stride=1, dilation=1, bias=False, name=None,
         stride = (stride, stride)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    if padding == "SAME":
+        # torch Conv2d(padding=(k-1)//2) semantics: symmetric padding for
+        # EVERY stride.  XLA's 'SAME' pads (0,1) for stride-2/K=3/even
+        # input — one pixel to the right of where torch samples — which
+        # silently shifts every stride-2 feature map vs imported reference
+        # weights (caught by tests/test_torch_parity.py).
+        padding = tuple((d * (k - 1) // 2, d * (k - 1) // 2)
+                        for k, d in zip(kernel, dilation))
     return nn.Conv(
         features=features,
         kernel_size=tuple(kernel),

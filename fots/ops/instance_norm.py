@@ -141,7 +141,7 @@ _fused_in.defvjp(_fused_in_fwd, _fused_in_bwd)
 
 
 def _row_tile(h, w, c, itemsize, out_mul=0, budget=10 * 1024 * 1024):
-    """Largest divisor of h fitting the 16M scoped-vmem budget.
+    """Largest divisor of h fitting the (default 10 MiB) scoped-vmem budget.
 
     Counts double-buffered in/out blocks plus the f32 stack temporaries
     (x32 and per-output intermediates); out_mul=0 sizes the stats pass

@@ -48,14 +48,12 @@ def depth_to_space(x, f: int):
 
 
 def _same_pad_lo(kernel: int, stride: int, in_size_even: bool = True) -> int:
-    """XLA 'SAME' low-side padding for our shapes (even in_size).
-
-    stride 1, K=3 -> (1,1); stride 2, K=3, even input -> (0,1)."""
-    if stride == 1:
-        return (kernel - 1) // 2
-    # total = max((out-1)*s + K - in, 0); even input, s=2: total = K - 2
-    total = max(kernel - stride, 0)
-    return total // 2
+    """Low-side padding of the canonical conv: torch Conv2d semantics,
+    ``(k-1)//2`` on both sides for every stride (reference models.py uses
+    padding=1 3x3 convs throughout).  NOT XLA-'SAME', which pads (0,1)
+    for stride 2 / K=3 / even input and would shift the grid one pixel
+    (see fots/models/layers.py:conv)."""
+    return (kernel - 1) // 2
 
 
 @functools.lru_cache(maxsize=None)

@@ -387,7 +387,7 @@ class FOTSInference:
     # -------- pipelined streaming serving --------
 
     def stream(self, batch_iter, serve_hw: Tuple[int, int] = (704, 1280),
-               split_words: bool = False):
+               split_words: bool = False, with_context: bool = False):
         """Software-pipelined serving over an iterable of image-BGR lists.
 
         Yields one :meth:`batch_call`-format results list per input batch.
@@ -396,6 +396,11 @@ class FOTSInference:
         recognition is dispatched before the next forward — the structure
         that reaches chip-bound throughput in bench.py (vs the reference's
         strictly sequential per-image loop, test.py:74-127).
+
+        With ``with_context=True`` the iterable yields ``(ctx, images)``
+        pairs and the stream yields ``(ctx, results)`` — the caller's
+        per-batch metadata rides through the pipeline instead of being
+        re-paired by arrival order.
         """
         from collections import deque
 
@@ -407,19 +412,20 @@ class FOTSInference:
             item = next(it, None)
             if item is None:
                 return False
-            batch, scales = self._letterbox(item, serve_hw)
+            ctx, images = item if with_context else (None, item)
+            batch, scales = self._letterbox(images, serve_hw)
             cands_dev, focr = self._dispatch_detect(batch)
             try:
                 cands_dev.copy_to_host_async()
             except AttributeError:
                 pass
-            inflight.append((len(item), scales, cands_dev, focr))
+            inflight.append((ctx, len(images), scales, cands_dev, focr))
             return True
 
         if pull():
             pull()
         while inflight:
-            n, scales, cands_dev, focr = inflight.popleft()
+            ctx, n, scales, cands_dev, focr = inflight.popleft()
             cands = np.asarray(cands_dev)
             boxes = [get_boxes_from_candidates(cands[i], hs, ws,
                                                self.segm_thresh,
@@ -427,8 +433,9 @@ class FOTSInference:
                      for i in range(n)]
             keys, jobs = self._recognize_dispatch(boxes, focr)
             pull()  # next forward overlaps this batch's materialization
-            yield self._recognize_finish(n, boxes, keys, jobs, scales,
+            res = self._recognize_finish(n, boxes, keys, jobs, scales,
                                          split_words)
+            yield (ctx, res) if with_context else res
 
     # -------- fused end-to-end --------
 

@@ -1,5 +1,13 @@
-"""Driver entry points: single-chip compile check (dryrun runs via driver)."""
+"""Driver entry points: single-chip compile check + multi-chip dryrun.
 
+The dryrun test invokes ``dryrun_multichip`` the exact way the driver does
+(fresh subprocess, ``python -c``, no conftest platform forcing) — round 1
+shipped a dryrun that passed nowhere but looked fine from inside pytest,
+because only the conftest forced the virtual 8-device CPU platform.
+"""
+
+import os
+import subprocess
 import sys
 
 import jax
@@ -20,3 +28,20 @@ def test_entry_compiles_and_runs():
     assert shapes[3] == (1, 64, 64, 64)  # focr
     for o in out:
         assert np.isfinite(np.asarray(o)).all()
+
+
+def test_dryrun_multichip_as_driver():
+    """Run the driver's exact invocation in a clean subprocess."""
+    env = dict(os.environ)
+    # the driver starts from the container's default env: no CPU forcing
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__\n"
+         "__graft_entry__.dryrun_multichip(8)\n"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1500,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
+    assert "dryrun_multichip ok" in r.stdout

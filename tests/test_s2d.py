@@ -25,13 +25,18 @@ def test_space_to_depth_roundtrip(rng):
 
 @pytest.mark.parametrize("stride,f_in,f_out", [(1, 2, 2), (2, 2, 2), (2, 2, 1)])
 def test_s2d_conv_matches_plain_conv(rng, stride, f_in, f_out):
-    """s2d_conv == the canonical SAME conv, up to float reassociation."""
+    """s2d_conv == the canonical conv, up to float reassociation.
+
+    Canonical = torch Conv2d(padding=(k-1)//2) semantics (symmetric for
+    every stride), NOT XLA-'SAME' — for stride 2 they differ by one pixel
+    and the reference weights were trained with torch alignment."""
     h, w, cin, cout, k = 16, 24, 3, 5, 3
     x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
     kern = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
 
+    pad = (k - 1) // 2
     want = jax.lax.conv_general_dilated(
-        x, kern, (stride, stride), "SAME",
+        x, kern, (stride, stride), ((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     ho, wo = h // stride, w // stride
