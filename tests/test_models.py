@@ -91,3 +91,27 @@ def test_param_count_sanity(detector_and_params):
     # reference ModelResNetSep2 is a ~10M-param model; topology match should
     # land in the same ballpark
     assert 5e6 < n < 30e6, n
+
+
+def test_head_conv_grads_nonzero():
+    """Gradients flow through all three fused head convs (_heads reads the
+    act/rbox/angle kernels via .variables at trace time — the fusion must
+    not detach them from autodiff).  Small shape so the full-detector
+    backward compiles in test time."""
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0),
+                              image_shape=(1, 32, 32, 3))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(1, 32, 32, 3)).astype(np.float32))
+
+    def loss_fn(params):
+        out = model.apply({**variables, "params": params}, x, train=False)
+        return (jnp.sum(out["segm"][0]) + jnp.sum(out["rbox"][0] / 128.0)
+                + jnp.sum(out["angle"][0] * jnp.array([0.3, 0.7])))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    for head in ("act", "rbox", "angle"):
+        for leaf in ("kernel", "bias"):
+            g = np.asarray(grads[head][leaf])
+            assert np.isfinite(g).all(), (head, leaf)
+            assert np.abs(g).max() > 0, f"zero grad through {head}/{leaf}"
