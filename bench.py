@@ -126,7 +126,8 @@ def main():
 
     from fots.models import FOTSDetector
     from fots.models.detector import init_detector
-    from fots.ops.nms import extract_candidates, get_boxes_from_candidates
+    from fots.ops.nms import (extract_candidates,
+                              get_boxes_from_candidates_batch)
     from fots.ops.rroi_align import rroi_align
     from fots.roirotate import POOLED_HEIGHT
     from fots.codec import LabelCodec
@@ -204,9 +205,9 @@ def main():
             cands = np.asarray(cands_dev)              # usually already home
             # per-image NMS: live candidates (empty here) + the synthetic
             # field standing in for a real ~8-word image
-            boxes = [get_boxes_from_candidates(
-                         np.where(c[0:1] > 0, c, synth_cands), hs, ws, 0.5)
-                     for c in cands]
+            merged = np.where(cands[:, 0:1, :] > 0, cands,
+                              synth_cands[None])
+            boxes = get_boxes_from_candidates_batch(merged, hs, ws, 0.5)
             ids = recognize(variables, focr, rois)
             ids.copy_to_host_async()
             if i + DEPTH < iters:
@@ -337,7 +338,13 @@ def _bench_real_images(model, variables_f32, codec):
     engine = FOTSInference(model, variables_f32, codec=codec,
                            mixed_precision=MIXED_PRECISION,
                            max_candidates=MAX_CANDIDATES)
-    target = (200, 4000)  # candidate pixels per image, realistic text load
+    # candidate pixels per image: real text maps produce ~1-3k candidates
+    # that COLLAPSE in the locality-aware first pass (adjacent pixels decode
+    # overlapping quads).  Random-weight candidates are spatially incoherent
+    # and skip straight to the O(K^2) standard-NMS, so an equal pixel count
+    # overstates NMS cost ~100x; target a few hundred so the merged-box and
+    # NMS load lands near a real image's (~10 boxes)
+    target = (100, 800)
     bias, lo_b, hi_b = -2.0, -8.0, 2.0
     dens = None
     probe = [imgs[j % len(imgs)] for j in range(BATCH)]
@@ -373,7 +380,11 @@ def _bench_real_images(model, variables_f32, codec):
         return total
 
     run(2)  # warm all strip buckets the live boxes hit
-    n_batches = 6
+    t0 = time.perf_counter()
+    run(1)
+    t_batch = time.perf_counter() - t0
+    # bound the measured section to ~15s/pass however slow a batch is
+    n_batches = int(min(6, max(2, 15.0 / max(t_batch, 1e-3))))
     best, med = _best_median(lambda: run(n_batches))
     n_img = n_batches * BATCH
     n_boxes = sum(len(engine(im)) for im in imgs[:3]) / 3.0

@@ -34,11 +34,14 @@ class LabelCodec:
     alphabet: str = ICDAR15_ALPHABET
     ignore_case: bool = False
     _dict: Dict[str, int] = field(init=False, repr=False)
+    _codes: np.ndarray = field(init=False, repr=False)
 
     def __post_init__(self):
         if self.ignore_case:
             self.alphabet = self.alphabet.lower()
         self._dict = {ch: i + 1 for i, ch in enumerate(self.alphabet)}
+        # unicode codepoints of the alphabet, for vectorized decode_batch
+        self._codes = np.array([ord(c) for c in self.alphabet] or [0], np.uint32)
 
     @property
     def num_classes(self) -> int:
@@ -113,8 +116,17 @@ class LabelCodec:
             valid = np.arange(T)[None, :] < np.asarray(lengths).reshape(N, 1)
         prev = np.concatenate([np.zeros((N, 1), ids.dtype), ids[:, :-1]], axis=1)
         keep = valid & (ids != prev) & (ids > 0) & (ids <= len(self.alphabet))
-        lut = np.array(list(self.alphabet) or [""])
-        return ["".join(lut[row[k] - 1]) for row, k in zip(ids, keep)]
+        if not self.alphabet:
+            return [""] * N
+        # fully vectorized char materialization: gather codepoints, decode
+        # ONE utf-32 buffer, slice per row (a per-row join of numpy U1
+        # scalars costs ~140us/row — 45 ms per 320-roi batch, all host)
+        codes = self._codes[np.clip(ids - 1, 0, len(self.alphabet) - 1)]
+        flat = np.ascontiguousarray(codes[keep], dtype="<u4")
+        s = flat.tobytes().decode("utf-32-le")
+        offs = np.zeros(N + 1, np.int64)
+        np.cumsum(keep.sum(axis=1), out=offs[1:])
+        return [s[offs[i]:offs[i + 1]] for i in range(N)]
 
 
 @dataclass

@@ -324,6 +324,71 @@ def get_boxes_from_candidates(cands, map_h: int, map_w: int,
                               iou_th1, iou_th2)
 
 
+_NMS_POOL = None
+
+
+def _nms_pool():
+    global _NMS_POOL
+    if _NMS_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _NMS_POOL = ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 1),
+            thread_name_prefix="fots-nms")
+    return _NMS_POOL
+
+
+def get_boxes_from_candidates_batch(cands, map_h: int, map_w: int,
+                                    segm_thresh=0.5, iou_th1=0.4,
+                                    iou_th2=0.2):
+    """Batched :func:`get_boxes_from_candidates` over a [B, 8, k] pack.
+
+    Host NMS was the largest non-overlapped cost in the serving loop
+    (~7 ms/image at batch 16): the per-pixel quad decode is GIL-bound
+    NumPy and the sequential merge is C.  So: ONE vectorized decode over
+    the whole batch, then only the ctypes merge (GIL released for the
+    entire C pass) fans out across a thread pool.  Per-image results are
+    identical to the scalar helper.
+    """
+    cands = np.asarray(cands)
+    B, _, k = cands.shape
+    scores = cands[:, 0, :]
+    valid = scores > segm_thresh
+    counts = valid.sum(axis=1)
+    idx = cands[:, 7, :].astype(np.int64)
+    # restore the reference's row-major scan order per image (top_k output
+    # is score-sorted); invalid slots sort to the end
+    order = np.argsort(np.where(valid, idx, np.iinfo(np.int64).max),
+                       axis=1, kind="stable")
+    bi = np.arange(B)[:, None]
+    s_sorted = scores[bi, order]
+    rows = np.transpose(cands, (0, 2, 1))[bi, order]   # [B, k, 8]
+    idx_s = rows[..., 7].astype(np.int64)
+    ys = idx_s // map_w
+    xs = idx_s % map_w
+    quads, probs = decode_candidates_np(
+        rows[..., 1:5].reshape(-1, 4), rows[..., 5].ravel(),
+        rows[..., 6].ravel(), xs.ravel(), ys.ravel())
+    quads = quads.reshape(B, k, 4, 2)
+    probs = probs.reshape(B, k, 4)
+
+    def merge_one(i):
+        n = counts[i]
+        if n == 0:
+            return np.zeros((0, 9), np.float32)
+        return locality_aware_nms(quads[i, :n], s_sorted[i, :n],
+                                  probs[i, :n], xs[i, :n], ys[i, :n],
+                                  map_w, map_h, iou_th1, iou_th2)
+
+    import os
+
+    if B <= 1 or counts.sum() == 0 or (os.cpu_count() or 1) <= 1:
+        # single-core hosts (this container): a pool only adds switches
+        return [merge_one(i) for i in range(B)]
+    return list(_nms_pool().map(merge_one, range(B)))
+
+
 def get_boxes(segm, geo, angle, segm_thresh=0.5, iou_th1=0.4, iou_th2=0.2):
     """Decode + merge. segm [H,W]; geo [H,W,4]; angle [H,W,2] (sin,cos).
 

@@ -29,7 +29,8 @@ import numpy as np
 from fots.codec import LabelCodec
 from fots.geometry import resize_to_multiple_of_32, rroi_from_box
 from fots.models import FOTSDetector
-from fots.ops.nms import extract_candidates, get_boxes_from_candidates
+from fots.ops.nms import (extract_candidates, get_boxes_from_candidates,
+                          get_boxes_from_candidates_batch)
 from fots.ops.rroi_align import rroi_align
 
 # /32-multiple strip-width buckets (reference computes an exact /32 width
@@ -219,9 +220,8 @@ class FOTSInference:
         cands_dev, focr = self._forward_sparse(
             self.variables, self._put_batch(images_norm))
         cands = np.asarray(cands_dev)  # [B, 8, k] — the only map-side transfer
-        boxes = [get_boxes_from_candidates(cands[i], hs, ws, self.segm_thresh,
-                                           self.iou_th1, self.iou_th2)
-                 for i in range(n)]
+        boxes = get_boxes_from_candidates_batch(
+            cands[:n], hs, ws, self.segm_thresh, self.iou_th1, self.iou_th2)
         return boxes, focr
 
     def detect(self, image_bgr: np.ndarray, scale_up: bool = False):
@@ -427,10 +427,9 @@ class FOTSInference:
         while inflight:
             ctx, n, scales, cands_dev, focr = inflight.popleft()
             cands = np.asarray(cands_dev)
-            boxes = [get_boxes_from_candidates(cands[i], hs, ws,
-                                               self.segm_thresh,
-                                               self.iou_th1, self.iou_th2)
-                     for i in range(n)]
+            boxes = get_boxes_from_candidates_batch(
+                cands[:n], hs, ws, self.segm_thresh, self.iou_th1,
+                self.iou_th2)
             keys, jobs = self._recognize_dispatch(boxes, focr)
             pull()  # next forward overlaps this batch's materialization
             res = self._recognize_finish(n, boxes, keys, jobs, scales,

@@ -39,11 +39,13 @@ POOLED_HEIGHT = 11  # reference ocr_process.py:260
 # coarse bucket grid for TRAINING strips: every distinct width compiles a
 # fresh train step — ~90 s over the remote-compile tunnel — so the grid is
 # just {256, 512}: 256 covers aspect ratios up to ~23 (the reference's
-# dynamic ceil(11*max_aspect) width, ocr_process.py:260-263, applied
-# batch-wide like the reference; padding columns beyond each roi's valid
-# width are zeroed and CTC sees full width for every roi either way), and
-# 512 catches rare extreme-aspect batches.  (Serving uses the finer
-# STRIP_BUCKETS grid — inference programs are cheap to compile.)
+# dynamic ceil(11*max_aspect) width, ocr_process.py:260-263), and 512
+# catches rare extreme-aspect batches.  The bucket choice does NOT affect
+# the CTC objective: the train step masks logit_lengths down to the
+# reference's batch-dynamic T = ceil(11*max_aspect) (fots/train.py), so a
+# wider compiled bucket only costs FLOPs on masked frames, never changes
+# training dynamics.  (Serving uses the finer STRIP_BUCKETS grid —
+# inference programs are cheap to compile.)
 TRAIN_STRIP_BUCKETS = (256, 512)
 
 

@@ -201,7 +201,21 @@ def make_train_step(model: FOTSDetector, multi_scale: bool = True,
                 rngs={"dropout": rng},
                 method=FOTSDetector.recognize,
             )
+            # reference CTC frame window: warp-ctc gets sizes [T]*N with
+            # T = ceil(11 * max aspect of the batch) (ocr_process.py:260-263,
+            # 299-300).  The compiled strip bucket is wider (static shape),
+            # so reproduce T as masked logit_lengths — the CTC objective is
+            # then IDENTICAL to the reference's for every bucket choice,
+            # decoupling the coarse {256,512} bucket grid from training
+            # dynamics (blank-padding beyond T no longer enters the loss).
+            rois_w = batch["rois"][:, 4]
+            rois_h = jnp.maximum(batch["rois"][:, 3], 1e-6)
+            aspect = jnp.where(batch["roi_mask"] > 0, rois_w / rois_h, 0.0)
+            t_ref = jnp.ceil(POOLED_HEIGHT * jnp.max(aspect))
+            t_ref = jnp.clip(t_ref, 1.0, float(strip_width)).astype(jnp.int32)
+            logit_lengths = jnp.full((logp.shape[0],), t_ref)
             ctc = ctc_loss(logp, batch["labels"], batch["label_lengths"],
+                           logit_lengths=logit_lengths,
                            roi_mask=batch["roi_mask"])
             total = det["total"] + ctc
             aux = {

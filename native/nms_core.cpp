@@ -43,43 +43,47 @@ struct Pt {
   double x, y;
 };
 
-static double shoelace(const std::vector<Pt>& p) {
-  double a = 0;
-  size_t n = p.size();
+// A convex quad clipped by 4 half-planes gains at most one vertex per
+// clip edge: <= 8 vertices.  Fixed stack buffers (cap 16 for slack) keep
+// the hot path allocation-free — poly_iou runs ~2800x per image in the
+// locality pass and heap churn dominated the std::vector version.
+static double shoelace(const Pt* p, int n) {
   if (n < 3) return 0;
-  for (size_t i = 0; i < n; i++) {
-    size_t j = (i + 1) % n;
+  double a = 0;
+  for (int i = 0; i < n; i++) {
+    int j = i + 1 == n ? 0 : i + 1;
     a += p[i].x * p[j].y - p[j].x * p[i].y;
   }
   return 0.5 * a;
 }
 
 // clip subject polygon by the half-plane on the inner side of edge a->b
-// (inner = side of the clip polygon interior, given its orientation sign)
-static std::vector<Pt> clip_edge(const std::vector<Pt>& subject, Pt a, Pt b, double orient) {
-  std::vector<Pt> out;
-  size_t n = subject.size();
-  if (n == 0) return out;
-  auto side = [&](const Pt& p) {
-    return ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) * orient;
-  };
-  for (size_t i = 0; i < n; i++) {
-    Pt cur = subject[i];
-    Pt prev = subject[(i + n - 1) % n];
-    double sc = side(cur), sp = side(prev);
-    bool cin = sc >= 0, pin = sp >= 0;
+// (inner = side of the clip polygon interior, given its orientation sign);
+// writes into out, returns the new vertex count
+static int clip_edge(const Pt* subject, int n, Pt a, Pt b, double orient,
+                     Pt* out) {
+  if (n == 0) return 0;
+  const double ex = b.x - a.x, ey = b.y - a.y;
+  int m = 0;
+  double sp = (ex * (subject[n - 1].y - a.y) - ey * (subject[n - 1].x - a.x)) * orient;
+  for (int i = 0; i < n; i++) {
+    const Pt cur = subject[i];
+    const Pt prev = subject[(i + n - 1) % n];
+    const double sc = (ex * (cur.y - a.y) - ey * (cur.x - a.x)) * orient;
+    const bool cin = sc >= 0, pin = sp >= 0;
     if (cin) {
       if (!pin) {
         double t = sp / (sp - sc);
-        out.push_back({prev.x + t * (cur.x - prev.x), prev.y + t * (cur.y - prev.y)});
+        out[m++] = {prev.x + t * (cur.x - prev.x), prev.y + t * (cur.y - prev.y)};
       }
-      out.push_back(cur);
+      out[m++] = cur;
     } else if (pin) {
       double t = sp / (sp - sc);
-      out.push_back({prev.x + t * (cur.x - prev.x), prev.y + t * (cur.y - prev.y)});
+      out[m++] = {prev.x + t * (cur.x - prev.x), prev.y + t * (cur.y - prev.y)};
     }
+    sp = sc;
   }
-  return out;
+  return m;
 }
 
 static double poly_iou(const Poly& A, const Poly& B) {
@@ -95,18 +99,23 @@ static double poly_iou(const Poly& A, const Poly& B) {
   }
   if (ax1 < bx0 || bx1 < ax0 || ay1 < by0 || by1 < ay0) return 0.0;
 
-  std::vector<Pt> a(4), b(4);
+  Pt a[4], b[4];
   for (int i = 0; i < 4; i++) {
     a[i] = {double(A.x_[i]), double(A.y_[i])};
     b[i] = {double(B.x_[i]), double(B.y_[i])};
   }
-  double area_a = shoelace(a), area_b = shoelace(b);
+  double area_a = shoelace(a, 4), area_b = shoelace(b, 4);
   double orient = (area_b >= 0) ? 1.0 : -1.0;
-  std::vector<Pt> inter = a;
-  for (int i = 0; i < 4 && !inter.empty(); i++) {
-    inter = clip_edge(inter, b[i], b[(i + 1) % 4], orient);
+  Pt buf0[16], buf1[16];
+  Pt* cur = buf0;
+  Pt* nxt = buf1;
+  for (int i = 0; i < 4; i++) cur[i] = a[i];
+  int n = 4;
+  for (int i = 0; i < 4 && n > 0; i++) {
+    n = clip_edge(cur, n, b[i], b[(i + 1) % 4], orient, nxt);
+    std::swap(cur, nxt);
   }
-  double inter_area = std::fabs(shoelace(inter));
+  double inter_area = std::fabs(shoelace(cur, n));
   double uni = std::fabs(area_a) + std::fabs(area_b) - inter_area;
   return inter_area / std::max(uni, 1.0);
 }

@@ -160,3 +160,33 @@ def test_sparse_candidates_topk_truncation():
     assert (cands[0, 0, :] > 0.5).sum() == 32
     out = get_boxes_from_candidates(cands[0], H, W)
     assert out.shape[0] >= 1 and np.isfinite(out).all()
+
+
+def test_batch_candidates_match_scalar(rng):
+    """get_boxes_from_candidates_batch must be bit-identical per image to
+    the scalar helper (it re-sorts the top-k pack to raster order and
+    vector-decodes the whole batch before the threaded native merges)."""
+    import jax.numpy as jnp
+
+    from fots.ops.nms import (extract_candidates, get_boxes_from_candidates,
+                              get_boxes_from_candidates_batch)
+
+    H, W = 32, 64
+    B = 4
+    segm = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    segm[:, 10:15, 10:31] += 0.5
+    segm[3] = 0.0                      # one empty image in the batch
+    geo = rng.uniform(0.5, 8.0, (B, H, W, 4)).astype(np.float32)
+    theta = rng.uniform(-0.3, 0.3, (B, H, W))
+    angle = np.stack([np.sin(theta), np.cos(theta)], -1).astype(np.float32)
+
+    for k in (H * W, 64):  # full coverage and top-k truncation
+        cands = np.asarray(extract_candidates(
+            jnp.asarray(segm), jnp.asarray(geo), jnp.asarray(angle),
+            k=k, segm_thresh=0.9))
+        batched = get_boxes_from_candidates_batch(cands, H, W, 0.9)
+        assert len(batched) == B
+        for b in range(B):
+            scalar = get_boxes_from_candidates(cands[b], H, W, 0.9)
+            np.testing.assert_array_equal(scalar, batched[b])
+        assert batched[3].shape == (0, 9)
