@@ -84,3 +84,20 @@ def test_width_bucket_monotonic():
     assert width_bucket(4000) == 512
     ws = [width_bucket(i) for i in range(1, 600, 7)]
     assert all(b >= a for a, b in zip(ws, ws[1:]))
+
+
+def test_rroi_demo_cli(tmp_path):
+    """The gradient-visualization demo (reference rroi_align/test2.py
+    analog) runs end-to-end: crops + gradient images written, gradient
+    mass concentrated on the pooled word regions."""
+    import cv2
+
+    from fots.cli.rroi_demo import main
+
+    out = tmp_path / "demo"
+    main(["-image",
+          "/root/reference/sample_train_data/MLT/icdar-2015-Ch4/Train/img_784.jpg",
+          "-out_dir", str(out), "-pooled_height", "8", "-max_rois", "2"])
+    assert (out / "crop0.jpg").exists() and (out / "grad_overlay.jpg").exists()
+    g = cv2.imread(str(out / "grad.jpg"))
+    assert g is not None and g.sum() > 0
