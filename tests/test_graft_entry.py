@@ -6,6 +6,10 @@ shipped a dryrun that passed nowhere but looked fine from inside pytest,
 because only the conftest forced the virtual 8-device CPU platform.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model compiles / subprocess drives; smoke tier = -m "not slow"
+
 import os
 import subprocess
 import sys

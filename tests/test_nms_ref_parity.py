@@ -23,6 +23,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles / subprocess drives; smoke tier = -m "not slow"
+
 REF_NMS = pathlib.Path("/root/reference/nms")
 BUILD_ROOT = pathlib.Path("/tmp/fots_ref_nms_build")
 

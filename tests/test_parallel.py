@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-model compiles / subprocess drives; smoke tier = -m "not slow"
 from jax.sharding import PartitionSpec as P
 
 from fots.parallel import batch_sharding, make_mesh, param_shardings

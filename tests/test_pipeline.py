@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles / subprocess drives; smoke tier = -m "not slow"
+
 import jax
 
 from fots.models import FOTSDetector

@@ -21,6 +21,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles / subprocess drives; smoke tier = -m "not slow"
+
 torch = pytest.importorskip("torch")
 
 REF_TOOLS = "/root/reference/tools"

@@ -4,6 +4,8 @@ checkpoints round-trip."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles / subprocess drives; smoke tier = -m "not slow"
+
 import jax
 
 from fots.codec import LabelCodec
