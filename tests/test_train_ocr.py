@@ -32,6 +32,7 @@ def test_crnn_trainer_loss_decreases(rng):
     assert len(preds) == 2
 
 
+@pytest.mark.slow  # 80-220 s full-trainer compiles
 def test_fots_recognizer_trainer_runs(rng):
     codec = LabelCodec(alphabet="abc")
     t = FOTSRecognizerTrainer(codec=codec, lr=1e-3, norm_height=44)
@@ -55,6 +56,7 @@ def test_build_gt_crop_batch_filters():
     assert width >= 32
 
 
+@pytest.mark.slow  # 80-220 s full-trainer compiles
 def test_crnn_e2e_trainer_on_synthetic(tmp_path, rng):
     list_path = write_icdar_dataset(str(tmp_path))
     # 256 = full synthetic image: crops keep the quads in bounds
