@@ -24,4 +24,25 @@ def _apply_platform_env():
         pass
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every CLI.
+
+    The heavy programs (train step, serving forward per strip bucket) cost
+    60-120 s each to compile against a remote accelerator; caching them on
+    disk makes the second CLI invocation start in seconds.  Opt out with
+    FOTS_COMPILE_CACHE=0 or point FOTS_COMPILE_CACHE at a directory."""
+    cache = os.environ.get("FOTS_COMPILE_CACHE", "~/.cache/fots_xla")
+    if cache == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 _apply_platform_env()
+_enable_compile_cache()
