@@ -1,0 +1,156 @@
+"""Per-stage device timings of the serving forward on the real chip.
+
+Times each pipeline stage as its own jitted program (sync via device_get
+of a reduction — jax.block_until_ready does not reliably block over the
+axon tunnel) and prints a table.  Stage sums exceed the fused forward
+because XLA fuses across stage boundaries in the full program; use the
+numbers for *relative* cost, i.e. where to spend optimization effort.
+
+Usage:  python tools/profile_forward.py [--batch 16] [--hw 704,1280]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax
+    import jax.numpy as jnp
+
+    return float(jax.device_get(jnp.sum(x.astype(jnp.float32))))
+
+
+def best_of(fn, n=5):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--hw", default="704,1280")
+    ap.add_argument("--boxes", type=int, default=20, help="rois per image")
+    ap.add_argument("--strip_w", type=int, default=128)
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args()
+    H, W = map(int, args.hw.split(","))
+    B = args.batch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fots.codec import LabelCodec
+    from fots.models import FOTSDetector
+    from fots.models.detector import init_detector
+    from fots.ops.nms import extract_candidates
+    from fots.ops.rroi_align import rroi_align
+    from fots.pipeline import cast_params_bf16
+    from fots.roirotate import POOLED_HEIGHT
+
+    codec = LabelCodec()
+    model = FOTSDetector(nclass=codec.num_classes)
+    variables = init_detector(model, jax.random.PRNGKey(0),
+                              image_shape=(1, H, W, 3))
+    dt = jnp.float32 if args.f32 else jnp.bfloat16
+    if not args.f32:
+        variables = cast_params_bf16(dict(variables))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32))
+
+    # RTT floor
+    tiny = jnp.zeros((), jnp.float32)
+    rtt = best_of(lambda: float(jax.device_get(tiny + 1.0)), 7)
+
+    rows = []
+
+    def timeit(name, fn, *a):
+        jfn = jax.jit(fn)
+        out = jfn(*a)          # compile
+        _sync(out if not isinstance(out, (tuple, list)) else out[0])
+        t = best_of(lambda: _sync(
+            (lambda o: o[0] if isinstance(o, (tuple, list)) else o)(jfn(*a))))
+        rows.append((name, (t - rtt) * 1e3))
+        return jfn(*a)
+
+    # --- stage programs (each includes the prior stages' recompute cost;
+    # subtract successive rows for marginal cost) ---
+    def stem_only(images):
+        return model.apply(variables, images.astype(dt),
+                           method=FOTSDetector.forward_features)
+
+    focr = timeit("stem (forward_features)", stem_only, images)
+
+    def full_fwd(images):
+        out = model.apply(variables, images.astype(dt), train=False)
+        return out["segm"][0], out["focr"]
+
+    timeit("full detection forward", full_fwd, images)
+
+    def fwd_plus_cand(images):
+        out = model.apply(variables, images.astype(dt), train=False)
+        return extract_candidates(
+            out["segm"][0][..., 0].astype(jnp.float32),
+            out["rbox"][0].astype(jnp.float32),
+            out["angle"][0].astype(jnp.float32), 2048, 0.5)
+
+    timeit("forward + candidate extraction", fwd_plus_cand, images)
+
+    # --- recognition decomposition on a held focr ---
+    n = B * args.boxes
+    rois_np = np.zeros((n, 6), np.float32)
+    rois_np[:, 0] = np.repeat(np.arange(B), args.boxes)
+    mx, my = min(100, W // 4), min(100, H // 4)
+    rois_np[:, 1] = rng.uniform(mx, W - mx, n)
+    rois_np[:, 2] = rng.uniform(my, H - my, n)
+    rois_np[:, 3] = rng.uniform(12, min(30, H // 4), n)
+    rois_np[:, 4] = rng.uniform(min(60, W // 4), min(250, W // 2), n)
+    rois_np[:, 5] = rng.uniform(-20, 20, n)
+    rois = jnp.asarray(rois_np)
+
+    def rroi_only(focr, rois):
+        return rroi_align(focr, rois, POOLED_HEIGHT, args.strip_w, 0.25)
+
+    strips = timeit(f"rroi_align {n}x11x{args.strip_w}", rroi_only, focr, rois)
+
+    def rec_stack(strips):
+        return model.apply(variables, strips, train=False,
+                           method=FOTSDetector.recognize)
+
+    timeit("recognition conv stack", rec_stack, strips)
+
+    def rec_full(focr, rois):
+        s = rroi_align(focr, rois, POOLED_HEIGHT, args.strip_w, 0.25)
+        lp = model.apply(variables, s, train=False,
+                         method=FOTSDetector.recognize)
+        return jnp.argmax(lp, axis=-1)
+
+    timeit("rroi + conv stack + argmax (fused)", rec_full, focr, rois)
+
+    print(f"\nbatch {B} @ {H}x{W} {'f32' if args.f32 else 'bf16'}; "
+          f"link RTT {rtt*1e3:.1f} ms (subtracted)")
+    for name, ms in rows:
+        print(f"  {name:40s} {ms:8.2f} ms")
+
+    # XLA-reported FLOPs for the full forward -> MFU
+    try:
+        jfwd = jax.jit(full_fwd)
+        cost = jfwd.lower(images).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        full_ms = dict(rows)["full detection forward"]
+        print(f"  forward FLOPs {flops/1e9:.1f} G -> "
+              f"MFU {100*flops/(full_ms/1e3)/197e12:.1f}% of v5e bf16 peak")
+    except Exception as e:
+        print("  cost analysis failed:", repr(e))
+
+
+if __name__ == "__main__":
+    main()
