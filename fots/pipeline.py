@@ -110,10 +110,18 @@ class FOTSInference:
         # path while the count of score>thresh pixels stays under this cap
         self.max_candidates = max_candidates
 
+        def _norm(images):
+            """Normalize on device: serving ships uint8 (4x less traffic
+            over the host link than pre-normalized f32); f32 inputs are
+            assumed already (x/128-1)."""
+            ct = jnp.bfloat16 if mixed_precision else jnp.float32
+            if images.dtype == jnp.uint8:
+                return images.astype(ct) / 128.0 - 1.0
+            return images.astype(ct)
+
         @jax.jit
         def _forward(variables, images):
-            if mixed_precision:
-                images = images.astype(jnp.bfloat16)
+            images = _norm(images)
             out = model.apply(variables, images, train=False)
             # pack all head maps channel-FIRST into one tensor: the last
             # (lane) dim must be the wide W axis — a [B,H,W,4] layout pads
@@ -129,9 +137,7 @@ class FOTSInference:
             """Forward + on-device NMS candidate extraction: ships only the
             top-k above-threshold pixels (fots/ops/nms.py:extract_candidates)
             instead of full head maps — the host link is the e2e bottleneck."""
-            if mixed_precision:
-                images = images.astype(jnp.bfloat16)
-            out = model.apply(variables, images, train=False)
+            out = model.apply(variables, _norm(images), train=False)
             cands = extract_candidates(
                 out["segm"][0][..., 0].astype(jnp.float32),
                 out["rbox"][0].astype(jnp.float32),
@@ -271,18 +277,21 @@ class FOTSInference:
     # -------- batched serving --------
 
     def _letterbox(self, images_bgr, serve_hw):
+        """Letterbox to the fixed serving shape, staying uint8: the batch
+        ships to the device raw (1 byte/px) and is normalized on device
+        (see ``_norm``) — 4x less host-link traffic than f32."""
         import cv2
 
         H, W = serve_hw
         n = len(images_bgr)
-        batch = np.zeros((n, H, W, 3), np.float32)
+        batch = np.zeros((n, H, W, 3), np.uint8)
         scales = []
         for i, im in enumerate(images_bgr):
             s = min(H / im.shape[0], W / im.shape[1])
             nh, nw = int(im.shape[0] * s), int(im.shape[1] * s)
-            batch[i, :nh, :nw] = cv2.resize(im, (nw, nh)).astype(np.float32)
+            batch[i, :nh, :nw] = cv2.resize(im, (nw, nh))
             scales.append(s)
-        return batch / 128.0 - 1.0, scales
+        return batch, scales
 
     def _dispatch_detect(self, images_norm: np.ndarray):
         """Dispatch the sparse detection program; returns device handles
