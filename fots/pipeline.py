@@ -234,8 +234,9 @@ class FOTSInference:
         """Detect text boxes in one raw BGR image.  Returns (boxes [N,9] in
         resized-image pixels, focr device array, resized shape)."""
         im_resized, _ = resize_to_multiple_of_32(image_bgr, scale_up=scale_up)
-        images = im_resized[None].astype(np.float32) / 128.0 - 1.0
-        boxes, focr = self.detect_boxes_batch(images)
+        # ship u8; the compiled forward normalizes on device (see _norm)
+        boxes, focr = self.detect_boxes_batch(
+            np.ascontiguousarray(im_resized[None]))
         return boxes[0], focr, im_resized
 
     # -------- recognition over detected boxes --------
