@@ -111,3 +111,14 @@ def test_stream_matches_batch_call(engine, rng):
             for g, w in zip(gres, wres):
                 np.testing.assert_allclose(g["box"], w["box"], atol=1e-5)
                 assert g["text"] == w["text"]
+
+
+def test_uint8_serving_matches_f32(engine, rng):
+    """Serving ships u8 letterboxed batches; on-device normalization must be
+    bit-identical to host-side (x/128-1) f32 normalization."""
+    imgs = [rng.integers(0, 255, (50, 60, 3)).astype(np.uint8) for _ in range(2)]
+    batch_u8, _scales = engine._letterbox(imgs, (64, 64))
+    assert batch_u8.dtype == np.uint8
+    c_u8, _ = engine._dispatch_detect(batch_u8)
+    c_f32, _ = engine._dispatch_detect(batch_u8.astype(np.float32) / 128.0 - 1.0)
+    np.testing.assert_array_equal(np.asarray(c_u8), np.asarray(c_f32))
