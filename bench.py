@@ -147,6 +147,7 @@ def main():
         os.nice(-10)  # serving loop is latency-sensitive on the 1-core host
     except OSError:
         pass
+    import fots.cli  # noqa: F401  (enables the persistent XLA compile cache)
     import jax
     import jax.numpy as jnp
 
