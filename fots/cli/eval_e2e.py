@@ -30,6 +30,9 @@ def main(argv=None):
                              "(reference eval.py:579-601 process_splits path; "
                              "multi-word lines match word-level GT)")
     parser.add_argument("-out_json", default=None)
+    parser.add_argument("-dump_json", default=None,
+                        help="also write per-image detections + GT "
+                             "(boxes, predicted and GT transcriptions)")
     args = parser.parse_args(argv)
 
     from fots.cli.detect import load_engine
@@ -38,6 +41,7 @@ def main(argv=None):
 
     engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh)
     metrics = E2EMetrics()
+    dump = []
 
     for i, path in enumerate(load_image_list(args.images_list)):
         im = cv2.imread(path)
@@ -66,6 +70,14 @@ def main(argv=None):
             dets = [(r["box"], r["text"]) for r in results]
         metrics.add_image(dets, gt_rect, labels,
                           eval_text_length=args.eval_text_length)
+        if args.dump_json is not None:
+            dump.append({
+                "image": path,
+                "detections": [{"box": np.asarray(b)[:8].tolist(),
+                                "text": t} for b, t in dets],
+                "gt": [{"box": np.asarray(q).reshape(-1)[:8].tolist(),
+                        "text": l} for q, l in zip(gt_rect, labels)],
+            })
         if i % 10 == 0:
             s = metrics.summary()
             print(f"[{i}] det hmean {s['detection_hmean']:.3f} "
@@ -76,6 +88,9 @@ def main(argv=None):
     if args.out_json:
         with open(args.out_json, "w") as f:
             json.dump(summary, f, indent=2)
+    if args.dump_json:
+        with open(args.dump_json, "w") as f:
+            json.dump(dump, f, indent=2)
 
 
 if __name__ == "__main__":
