@@ -40,6 +40,10 @@ def main(argv=None):
         norm_height = args.norm_height
     else:
         trainer = CRNNTrainer()
+        if args.model:
+            from fots.checkpoint import restore_checkpoint
+
+            trainer.state, _ = restore_checkpoint(args.model, trainer.state)
         norm_height = 32
 
     metrics = OCRMetrics()

@@ -18,16 +18,24 @@ def main(argv=None):
     parser.add_argument("-disp_interval", type=int, default=10)
     parser.add_argument("-num_readers", type=int, default=2)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-save_path", default=None, help="checkpoint dir")
+    parser.add_argument("-checkpoint_every", type=int, default=1000)
+    parser.add_argument("-model", default=None, help="orbax checkpoint to resume")
     args = parser.parse_args(argv)
 
+    from fots.checkpoint import save_checkpoint, restore_checkpoint
     from fots.data.ocr_crops import ocr_crop_batches
     from fots.train_ocr import CRNNTrainer
 
     trainer = CRNNTrainer(lr=args.base_lr, seed=args.seed)
+    if args.model:
+        trainer.state, step0 = restore_checkpoint(args.model, trainer.state)
+        print(f"resumed from {args.model} at step {step0}")
     batches = ocr_crop_batches(
         args.train_list, num_workers=args.num_readers,
         batch_size=args.batch_size, norm_height=32, seed=args.seed,
     )
+    i = 0
     try:
         for i, batch in enumerate(batches):
             if i >= args.max_iters:
@@ -35,8 +43,13 @@ def main(argv=None):
             loss = trainer.step(batch)
             if i % args.disp_interval == 0:
                 print(f"step {i} ctc_loss {loss:.4f}", flush=True)
+            if args.save_path and i > 0 and i % args.checkpoint_every == 0:
+                save_checkpoint(args.save_path, trainer.state, i)
     finally:
         batches.stop()
+    if args.save_path:
+        path = save_checkpoint(args.save_path, trainer.state, min(i + 1, args.max_iters))
+        print(f"saved {path}")
 
 
 if __name__ == "__main__":

@@ -22,17 +22,27 @@ def main(argv=None):
     parser.add_argument("-disp_interval", type=int, default=10)
     parser.add_argument("-num_readers", type=int, default=2)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-save_path", default=None,
+                        help="checkpoint dir (reference train_ocr.py saves .h5 "
+                             "at a step cadence; here orbax)")
+    parser.add_argument("-checkpoint_every", type=int, default=1000)
+    parser.add_argument("-model", default=None, help="orbax checkpoint to resume")
     args = parser.parse_args(argv)
 
+    from fots.checkpoint import save_checkpoint, restore_checkpoint
     from fots.data.ocr_crops import ocr_crop_batches
     from fots.train_ocr import FOTSRecognizerTrainer
 
     trainer = FOTSRecognizerTrainer(lr=args.base_lr, norm_height=args.norm_height,
                                     seed=args.seed)
+    if args.model:
+        trainer.state, step0 = restore_checkpoint(args.model, trainer.state)
+        print(f"resumed from {args.model} at step {step0}")
     batches = ocr_crop_batches(
         args.train_list, num_workers=args.num_readers,
         batch_size=args.batch_size, norm_height=args.norm_height, seed=args.seed,
     )
+    i = 0
     try:
         running = 0.0
         for i, batch in enumerate(batches):
@@ -43,8 +53,13 @@ def main(argv=None):
                 print(f"step {i} ctc_loss {running / max(1, i % args.disp_interval + 1):.4f}",
                       flush=True)
                 running = 0.0
+            if args.save_path and i > 0 and i % args.checkpoint_every == 0:
+                save_checkpoint(args.save_path, trainer.state, i)
     finally:
         batches.stop()
+    if args.save_path:
+        path = save_checkpoint(args.save_path, trainer.state, min(i + 1, args.max_iters))
+        print(f"saved {path}")
 
 
 if __name__ == "__main__":
