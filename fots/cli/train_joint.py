@@ -33,6 +33,10 @@ def main(argv=None):
                         help="0=edge-distance targets, 1=row/col-scan variant")
     parser.add_argument("-ohem", action="store_true",
                         help="OHEM score loss (FOTS paper) instead of dice")
+    parser.add_argument("-debug", default=None, metavar="DIR",
+                        help="dump sampled roi crops to DIR (reference "
+                             "data/tshow debug hook, ocr_process.py:224-249)")
+    parser.add_argument("-debug_every", type=int, default=1000)
     args = parser.parse_args(argv)
 
     from fots.checkpoint import (import_torch_state_dict, load_torch_h5,
@@ -97,6 +101,8 @@ def main(argv=None):
             log_every=args.disp_interval,
             checkpoint_dir=args.save_path,
             checkpoint_every=args.checkpoint_every,
+            debug_dir=args.debug,
+            debug_every=args.debug_every,
         )
     finally:
         batches.stop()

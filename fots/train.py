@@ -394,7 +394,8 @@ class Trainer:
         return out
 
     def train(self, batches, max_steps: int, log_every: int = 5,
-              checkpoint_dir: Optional[str] = None, checkpoint_every: int = 10000):
+              checkpoint_dir: Optional[str] = None, checkpoint_every: int = 10000,
+              debug_dir: Optional[str] = None, debug_every: int = 1000):
         """Pipelined training loop.
 
         A single prefetch thread runs the host side of step i+1 (roi
@@ -427,6 +428,13 @@ class Trainer:
             batch, fut = pending
             try:
                 prepared = fut.result()
+                if debug_dir and step_idx % debug_every == 0:
+                    # data/tshow analog (reference ocr_process.py:224-249):
+                    # host-only crop dump of this step's sampled rois
+                    from fots.debug_vis import dump_roi_crops
+
+                    dump_roi_crops(batch.images, prepared[0], self.codec,
+                                   debug_dir, step_idx)
                 # dispatch step i, then immediately start preparing i+1 on
                 # the worker (its roi sampling blocks on step i's candidate
                 # pack, which streams home while the device runs)
