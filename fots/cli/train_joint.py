@@ -31,6 +31,10 @@ def main(argv=None):
                         help="skip predicted-roi sampling (early-training mode)")
     parser.add_argument("-geo_type", type=int, default=0,
                         help="0=edge-distance targets, 1=row/col-scan variant")
+    parser.add_argument("-no_aug", action="store_true",
+                        help="disable augmentation (deterministic full-image "
+                             "samples; use with -input_size -1 for "
+                             "overfit/memorization runs)")
     parser.add_argument("-ohem", action="store_true",
                         help="OHEM score loss (FOTS paper) instead of dice")
     parser.add_argument("-debug", default=None, metavar="DIR",
@@ -65,7 +69,9 @@ def main(argv=None):
         model=model,
         codec=codec,
         learning_rate=args.base_lr,
-        input_size=args.input_size,
+        # init shape is arbitrary for the fully-conv model; the step fn
+        # takes the true H,W per batch (native-size mode passes -1 here)
+        input_size=args.input_size if args.input_size > 0 else 512,
         seed=args.seed,
         mesh=mesh,
         use_predicted_rois=not args.gt_rois_only,
@@ -93,6 +99,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         seed=args.seed,
         geo_type=args.geo_type,
+        augment=not args.no_aug,
     )
     try:
         trainer.train(

@@ -47,11 +47,18 @@ def detection_generator(
     in_train: bool = True,
     allow_empty_frac: float = 0.4,
     geo_type: int = 0,
+    augment: bool = True,
 ) -> Iterator[DetectionBatch]:
     """Infinite (train) or single-pass (eval) batch generator.
 
     geo_type selects the target formulation like the reference's flag
     (data_gen.py:711-714): 0 = edge distances, 1 = row/col-scan variant.
+    augment=False skips the pad/shear/scale/invert/jitter chain (and makes
+    the crop deterministic): with ``input_size=-1`` every sample is then
+    the full image at its native /32 size — the exact eval-time input,
+    which is what a memorization/overfit run should train on (the
+    augmented path's random 0.5-2x scales give each native-size sample a
+    different shape, recompiling every batch).
     """
     image_list = np.asarray(load_image_list(train_list))
     rng = np.random.default_rng(seed)
@@ -66,7 +73,7 @@ def detection_generator(
             rng.shuffle(index)
         for i in index:
             item = _load_one(rng, str(image_list[i]), input_size, in_train,
-                             allow_empty_frac, geo_type)
+                             allow_empty_frac, geo_type, augment)
             if item is None:
                 continue
             batch_items.append(item)
@@ -79,7 +86,8 @@ def detection_generator(
             return
 
 
-def _load_one(rng, im_name, input_size, in_train, allow_empty_frac, geo_type=0):
+def _load_one(rng, im_name, input_size, in_train, allow_empty_frac, geo_type=0,
+              augment=True):
     try:
         if not os.path.exists(im_name):
             return None
@@ -89,7 +97,7 @@ def _load_one(rng, im_name, input_size, in_train, allow_empty_frac, geo_type=0):
         polys, tags, labels = load_annotation(im_name, im.shape)
         allow_empty = rng.uniform() < allow_empty_frac
 
-        if in_train:
+        if in_train and augment:
             if rng.uniform(0, 100) < 50 or im.shape[0] < 600 or im.shape[1] < 600:
                 im, polys = aug.random_border_pad(rng, im, polys)
             if rng.uniform(0, 100) < 30:
@@ -106,7 +114,10 @@ def _load_one(rng, im_name, input_size, in_train, allow_empty_frac, geo_type=0):
                 size[1] = int(size[1] / 1.2 // 32) * 32
             resize_w, resize_h = size
 
-        im, polys = aug.word_centered_crop(rng, im, (resize_h, resize_w), polys)
+        if augment:
+            im, polys = aug.word_centered_crop(rng, im, (resize_h, resize_w), polys)
+        else:
+            im = im[:resize_h, :resize_w]  # deterministic top-left crop
         if im.shape[0] == 0 or im.shape[1] == 0:
             return None
         if im.shape[1] != resize_w or im.shape[0] != resize_h:
@@ -119,7 +130,7 @@ def _load_one(rng, im_name, input_size, in_train, allow_empty_frac, geo_type=0):
                 polys[:, :, 0] /= sx
                 polys[:, :, 1] /= sy
 
-        if in_train:
+        if in_train and augment:
             # jitter AFTER the crop like the reference (data_gen.py:703-710)
             # — also ~100x cheaper than jittering the full padded image
             im = aug.color_jitter(rng, im)

@@ -11,23 +11,26 @@
 # Usage: tools/make_accuracy_artifacts.sh [JOINT_CKPT] [OCR_CKPT]
 set -ex
 cd "$(dirname "$0")/.."
+# prepend repo root WITHOUT clobbering the axon sitecustomize dir already on
+# PYTHONPATH (it registers the TPU backend; replacing the var kills the TPU)
+export PYTHONPATH=".${PYTHONPATH:+:$PYTHONPATH}"
 JOINT=${1:-/tmp/overfit_ckpt/step_9400}
 OCR=${2:-}
 mkdir -p artifacts
 
-PYTHONPATH=. python -m fots.cli.eval_e2e -model "$JOINT" \
+python -m fots.cli.eval_e2e -model "$JOINT" \
   -images_list data/overfit_icdar2015.txt \
   -out_json artifacts/overfit_e2e_metrics.json \
   -dump_json artifacts/overfit_e2e_detections.json \
   | tail -5 > artifacts/overfit_e2e_stdout.txt
 
 # overlay image for visual inspection
-PYTHONPATH=. python -m fots.cli.detect -model "$JOINT" \
+python -m fots.cli.detect -model "$JOINT" \
   -test_folder "$(dirname "$(head -1 data/overfit_icdar2015.txt)")" \
   -output artifacts/overfit_overlays
 
 if [ -n "$OCR" ]; then
-  PYTHONPATH=. python -m fots.cli.eval_ocr -arch fots -model "$OCR" \
+  python -m fots.cli.eval_ocr -arch fots -model "$OCR" \
     -train_list /root/reference/sample_train_data/MLT_CROPS/gt.txt \
     -norm_height 44 > artifacts/overfit_ocr_metrics.json
 fi
