@@ -30,9 +30,15 @@ def _enable_compile_cache():
     The heavy programs (train step, serving forward per strip bucket) cost
     60-120 s each to compile against a remote accelerator; caching them on
     disk makes the second CLI invocation start in seconds.  Opt out with
-    FOTS_COMPILE_CACHE=0 or point FOTS_COMPILE_CACHE at a directory."""
+    FOTS_COMPILE_CACHE=0 or point FOTS_COMPILE_CACHE at a directory.
+
+    Never enabled for CPU runs: jax 0.9's XLA:CPU AOT reload fails its own
+    machine-feature check (+prefer-no-scatter pseudo-features recorded as
+    required host features) and can SIGILL on the second invocation."""
     cache = os.environ.get("FOTS_COMPILE_CACHE", "~/.cache/fots_xla")
     if cache == "0":
+        return
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
         return
     try:
         import jax
