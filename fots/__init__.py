@@ -20,7 +20,12 @@ __version__ = "0.1.0"
 
 def enable_compilation_cache(path: str = "/root/.cache/fots_jax_cache"):
     """Persist compiled XLA programs across processes (huge win where
-    compilation is remote/slow).  Safe to call multiple times."""
+    compilation is remote/slow).  Safe to call multiple times.
+
+    NOT called at import: jax 0.9's XLA:CPU AOT cache reload fails its own
+    machine-feature check (+prefer-no-scatter pseudo-features recorded as
+    required host features) and can SIGILL, so caching must be opted into
+    by entry points that know they run on the TPU (fots.cli does)."""
     try:
         import jax
 
@@ -28,8 +33,5 @@ def enable_compilation_cache(path: str = "/root/.cache/fots_jax_cache"):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
-
-
-enable_compilation_cache()
 
 from fots.codec import ICDAR15_ALPHABET, LabelCodec  # noqa: F401

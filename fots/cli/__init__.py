@@ -38,7 +38,10 @@ def _enable_compile_cache():
     cache = os.environ.get("FOTS_COMPILE_CACHE", "~/.cache/fots_xla")
     if cache == "0":
         return
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    # first entry = the platform jax will actually select ("axon,cpu" is
+    # the container default: TPU with CPU fallback — cache stays on)
+    primary = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
+    if primary == "cpu":
         return
     try:
         import jax

@@ -20,7 +20,8 @@ import numpy as np
 
 
 def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
-                mixed_precision=False, n_data=None, n_model=1):
+                mixed_precision=False, n_data=None, n_model=1,
+                expand_w_frac=0.0):
     import jax
 
     from fots.checkpoint import (import_torch_state_dict, latest_checkpoint,
@@ -51,7 +52,8 @@ def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
         from fots.parallel import make_mesh
         mesh = make_mesh(n_data=n_data, n_model=n_model)
     return FOTSInference(model, dict(variables), segm_thresh=segm_thresh,
-                         mixed_precision=mixed_precision, mesh=mesh)
+                         mixed_precision=mixed_precision, mesh=mesh,
+                         expand_w_frac=expand_w_frac)
 
 
 def main(argv=None):

@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("-images_list", required=True,
                         help="file listing image paths (gt_*.txt alongside)")
     parser.add_argument("-segm_thresh", type=float, default=0.5)
+    parser.add_argument("-expand_w", type=float, default=0.0,
+                        help="optional crop-width margin as a fraction of box "
+                             "height (reference eval's w + h/4, eval.py:575)")
     parser.add_argument("-eval_text_length", type=int, default=3)
     parser.add_argument("-scale_up", action="store_true")
     parser.add_argument("-split_words", action="store_true",
@@ -39,7 +42,8 @@ def main(argv=None):
     from fots.data.annotations import load_annotation, load_image_list
     from fots.evaluate import E2EMetrics
 
-    engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh)
+    engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh,
+                         expand_w_frac=args.expand_w)
     metrics = E2EMetrics()
     dump = []
 

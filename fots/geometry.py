@@ -71,11 +71,20 @@ def quads_to_rrois(
     return np.stack([bid, center[:, 0], center[:, 1], h, w, ang_deg], axis=1)
 
 
-def rroi_from_box(box8: np.ndarray, batch_idx: int = 0) -> Tuple[np.ndarray, float, float]:
+def rroi_from_box(
+    box8: np.ndarray, batch_idx: int = 0, expand_w_frac: float = 0.0
+) -> Tuple[np.ndarray, float, float]:
     """Single detected box (8 coords) -> (rroi[6], w, h).
 
     Matches align_ocr's roi construction (tools/ocr_utils.py:136-145),
     including the int() truncation of the center coordinates.
+
+    ``expand_w_frac``: widen the crop by that fraction of the box height
+    (centered), the way the reference *accuracy* harness does — its eval
+    crop spans ``w + h/4`` (tools/eval.py:575,587: ``target_gw = w*scale +
+    target_h/4``, ``scalex = (w2 + h2/4)/input_W``).  EAST boxes regress
+    tight to the glyphs, so without the margin edge characters get clipped
+    ("CALVIN" -> "ALVIN").  0.25 reproduces the reference eval margin.
     """
     b = np.asarray(box8, dtype=np.float64)[:8].reshape(4, 2)
     center = b.mean(axis=0)
@@ -83,6 +92,7 @@ def rroi_from_box(box8: np.ndarray, batch_idx: int = 0) -> Tuple[np.ndarray, flo
     dh = b[1] - b[0]
     w = math.sqrt(dw[0] ** 2 + dw[1] ** 2)
     h = math.sqrt(dh[0] ** 2 + dh[1] ** 2)
+    w = w + expand_w_frac * h
     angle = math.atan2(b[2][1] - b[1][1], b[2][0] - b[1][0])
     angle = -angle / math.pi * 180.0
     return (

@@ -20,6 +20,7 @@ shapes (use fixed input sizing for throughput serving).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -33,9 +34,16 @@ from fots.ops.nms import (extract_candidates, get_boxes_from_candidates,
                           get_boxes_from_candidates_batch)
 from fots.ops.rroi_align import rroi_align
 
-# /32-multiple strip-width buckets (reference computes an exact /32 width
-# per box, ocr_utils.py:147-150; bucketing bounds compile count)
-STRIP_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
+# Strip-width buckets for serving.  MUST match the training bucket grid
+# (fots/roirotate.py TRAIN_STRIP_BUCKETS): the recognition head's
+# InstanceNorms compute statistics over the whole padded strip, so a roi
+# recognized at a different bucket width than it was trained in sees
+# shifted feature statistics — measured on an overfit checkpoint, serving
+# the 256-trained model at bucket 64 degraded 'CALVIN' to 'ALVIN'/'ALV'
+# while 256 read every word exactly.  (The reference has the same skew
+# between its batch-dynamic training widths, ocr_process.py:260-263, and
+# its exact per-box inference widths — it just never decodes both ways.)
+STRIP_BUCKETS = (256, 512)
 TARGET_H = 11  # recognition strip height at 1/4 scale (ocr_utils.py:147)
 
 # parameter subtrees kept in f32 under mixed precision: geometry/score
@@ -77,14 +85,30 @@ def strip_width_for_box(w: float, h: float, target_h: int = TARGET_H) -> int:
     return STRIP_BUCKETS[-1]
 
 
+def valid_frames(roi: np.ndarray, width: int, target_h: int = TARGET_H) -> int:
+    """Number of recognition frames actually covered by the roi.
+
+    rroi_align leaves pooled columns beyond ``pooled_h * w / h`` zero
+    (reference kernel.cu:68,107) and the head is width-preserving, so
+    frames past ceil(target_h * aspect) carry no trained signal."""
+    aspect = roi[4] / max(float(roi[3]), 1e-6)
+    return int(min(width, math.ceil(target_h * aspect)))
+
+
 class FOTSInference:
     """Stateful wrapper owning compiled programs + device-resident params."""
 
     def __init__(self, model: FOTSDetector, variables, codec: Optional[LabelCodec] = None,
                  segm_thresh: float = 0.5, iou_th1: float = 0.4, iou_th2: float = 0.2,
                  mixed_precision: bool = False, max_candidates: int = 8192,
-                 mesh=None):
+                 mesh=None, expand_w_frac: float = 0.0):
         self.model = model
+        # optional crop-width margin (fraction of box height), the
+        # reference accuracy harness' w + h/4 rule (tools/eval.py:575,587).
+        # Default 0 = align_ocr parity; measured on an overfit checkpoint
+        # the margin slightly hurt ('BREAD' -> 'BRETDR') because training
+        # crops are exact-box (ocr_process.py:196-221)
+        self.expand_w_frac = expand_w_frac
         if mixed_precision:
             variables = cast_params_bf16(dict(variables))
         # multi-chip serving: params replicated (vocab head optionally
@@ -255,7 +279,8 @@ class FOTSInference:
         buckets: Dict[int, List[int]] = {}
         rois = np.zeros((n, 6), np.float32)
         for i in range(n):
-            roi, w, h = rroi_from_box(boxes[i], batch_index)
+            roi, w, h = rroi_from_box(boxes[i], batch_index,
+                                      expand_w_frac=self.expand_w_frac)
             rois[i] = roi
             buckets.setdefault(strip_width_for_box(w, h), []).append(i)
 
@@ -320,23 +345,7 @@ class FOTSInference:
         n = len(images_bgr)
 
         per_image_boxes, focr = self.detect_boxes_batch(batch)
-        all_rois = []
-        all_keys = []  # (image_idx, box_idx)
-        buckets: Dict[int, List[int]] = {}
-        for i in range(n):
-            boxes = per_image_boxes[i]
-            for j in range(boxes.shape[0]):
-                roi, w, h = rroi_from_box(boxes[j], i)
-                buckets.setdefault(strip_width_for_box(w, h), []).append(len(all_rois))
-                all_rois.append(roi)
-                all_keys.append((i, j))
-        jobs = []
-        if all_rois:
-            rois_arr = np.asarray(all_rois, np.float32)
-            for width, idxs in sorted(buckets.items()):
-                sel = self._put_rois(rois_arr[np.asarray(idxs)])
-                ids_dev, _ = self._recognize(self.variables, focr, sel, width)
-                jobs.append((idxs, ids_dev))
+        all_keys, jobs = self._recognize_dispatch(per_image_boxes, focr)
         return self._recognize_finish(n, per_image_boxes, all_keys, jobs,
                                       scales, split_words)
 
@@ -348,7 +357,8 @@ class FOTSInference:
         buckets: Dict[int, List[int]] = {}
         for i, boxes in enumerate(per_image_boxes):
             for j in range(boxes.shape[0]):
-                roi, w, h = rroi_from_box(boxes[j], i)
+                roi, w, h = rroi_from_box(boxes[j], i,
+                                          expand_w_frac=self.expand_w_frac)
                 buckets.setdefault(strip_width_for_box(w, h), []).append(len(all_rois))
                 all_rois.append(roi)
                 all_keys.append((i, j))
@@ -367,7 +377,14 @@ class FOTSInference:
 
     def _recognize_finish(self, n, per_image_boxes, all_keys, jobs, scales,
                           split_words):
-        """Materialize recognition jobs + assemble per-image results."""
+        """Materialize recognition jobs + assemble per-image results.
+
+        The full bucket width is decoded (reference behavior: align_ocr
+        decodes all of target_gw, ocr_utils.py:179-186).  CTC is
+        alignment-free — the trained model may emit characters anywhere in
+        the loss window, measurably including frames past the roi's
+        geometric extent — so truncating ids at ceil(11*aspect) cuts real
+        emissions (verified on an overfit checkpoint: 'ALVIN' -> 'ALV')."""
         texts = [""] * len(all_keys)
         ids_out: List[Optional[np.ndarray]] = [None] * len(all_keys)
         for idxs, ids_dev in jobs:

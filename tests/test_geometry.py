@@ -115,3 +115,17 @@ def test_generate_rbox2_line_case():
     np.testing.assert_allclose(got[0], want[0], atol=1e-4)
     np.testing.assert_allclose(got[1], want[1], atol=1e-4)
     np.testing.assert_array_equal(got[2], want[2])
+
+
+def test_rroi_from_box_expand_w():
+    """expand_w_frac widens the crop by that fraction of the box height,
+    centered (reference eval's w + h/4 margin, tools/eval.py:575,587);
+    center, height and angle are untouched."""
+    from fots.geometry import rroi_from_box
+
+    box = np.array([100.0, 60.0, 100.0, 40.0, 180.0, 40.0, 180.0, 60.0])
+    base, w0, h0 = rroi_from_box(box)
+    ex, w1, h1 = rroi_from_box(box, expand_w_frac=0.25)
+    assert h1 == h0 and w1 == w0 + 0.25 * h0
+    np.testing.assert_allclose(ex[[0, 1, 2, 3, 5]], base[[0, 1, 2, 3, 5]])
+    np.testing.assert_allclose(ex[4], base[4] + 0.25 * h0)
