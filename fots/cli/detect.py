@@ -21,7 +21,9 @@ import numpy as np
 
 def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
                 mixed_precision=False, n_data=None, n_model=1,
-                expand_w_frac=0.0):
+                expand_w_frac=0.0, masked_norm=None):
+    """masked_norm None = auto: read save_path/train_config.json written by
+    fots.cli.train_joint next to the checkpoint."""
     import jax
 
     from fots.checkpoint import (import_torch_state_dict, latest_checkpoint,
@@ -47,13 +49,22 @@ def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
         state, step = restore_checkpoint(path, trainer.state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         print(f"restored checkpoint {path} (step {step})")
+        if masked_norm is None:
+            import json
+
+            cfg = os.path.join(os.path.dirname(os.path.abspath(path)),
+                               "train_config.json")
+            if os.path.exists(cfg):
+                with open(cfg) as f:
+                    masked_norm = json.load(f).get("masked_norm", False)
     mesh = None
     if n_data is not None and n_data > 1:
         from fots.parallel import make_mesh
         mesh = make_mesh(n_data=n_data, n_model=n_model)
     return FOTSInference(model, dict(variables), segm_thresh=segm_thresh,
                          mixed_precision=mixed_precision, mesh=mesh,
-                         expand_w_frac=expand_w_frac)
+                         expand_w_frac=expand_w_frac,
+                         masked_norm=bool(masked_norm))
 
 
 def main(argv=None):

@@ -27,6 +27,10 @@ def main(argv=None):
                         help="optional crop-width margin as a fraction of box "
                              "height (reference eval's w + h/4, eval.py:575)")
     parser.add_argument("-eval_text_length", type=int, default=3)
+    parser.add_argument("-ignore_dontcare", action="store_true",
+                        help="ICDAR don't-care rule: detections overlapping "
+                             "###/short GT leave the precision denominator "
+                             "(the reference harness penalizes them)")
     parser.add_argument("-scale_up", action="store_true")
     parser.add_argument("-split_words", action="store_true",
                         help="emit per-word split boxes as detections "
@@ -44,7 +48,7 @@ def main(argv=None):
 
     engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh,
                          expand_w_frac=args.expand_w)
-    metrics = E2EMetrics()
+    metrics = E2EMetrics(ignore_dontcare=args.ignore_dontcare)
     dump = []
 
     for i, path in enumerate(load_image_list(args.images_list)):
@@ -58,6 +62,11 @@ def main(argv=None):
         sy = im_resized.shape[0] / im.shape[0]
         sx = im_resized.shape[1] / im.shape[1]
         gt_rect = (polys * np.array([sx, sy])).reshape(-1, 8) if len(polys) else np.zeros((0, 8))
+        # the reference only emits detections whose transcription is at
+        # least eval_text_length chars (eval.py:667-668,685): shorter reads
+        # never enter the precision denominator
+        results = [r for r in results
+                   if len(r["text"].strip()) >= args.eval_text_length]
         if args.split_words:
             # note: the reference also computes a 2x-scale second OCR pass
             # here (eval.py:608-636 labels_pred2) but never consumes it —
@@ -67,7 +76,8 @@ def main(argv=None):
                 if r.get("words"):
                     dets.extend((np.concatenate([w["quad"].reshape(8),
                                                  r["box"][8:9]]), w["text"])
-                                for w in r["words"])
+                                for w in r["words"]
+                                if len(w["text"].strip()) >= args.eval_text_length)
                 else:
                     dets.append((r["box"], r["text"]))
         else:

@@ -47,25 +47,39 @@ def evaluate_image(
     iou_th_eval: float = 0.5,
     eval_text_length: int = 3,
 ):
-    """Returns (tp, tp_e2e, gt_e2e, tp_e2e_ed1, detection_to_gt).
+    """Returns (tp, tp_e2e, gt_e2e, tp_e2e_ed1, detection_to_gt, n_dontcare).
 
     detections: list of (box-with->=8-coords, predicted text).
     gt_rect: [G, 8+] quad coords; gt_txts: G transcriptions.
+
+    n_dontcare counts detections whose best GT overlap (IoU > iou_th) is an
+    ineligible entry ('##'-tagged or shorter than eval_text_length): the
+    ICDAR protocol excludes those from the precision denominator.  The
+    reference harness does NOT (eval.py:715 counts every emitted
+    detection); E2EMetrics only subtracts them under ignore_dontcare=True.
     """
     gt_to_detection: Dict[int, List] = {}
     detection_to_gt: Dict[int, List] = {}
     tp = tp_e2e = tp_e2e_ed1 = gt_e2e = 0
     gt_matches = np.zeros(len(gt_txts))
     gt_matches_ed1 = np.zeros(len(gt_txts))
+    n_dontcare = 0
+    gt_eligible = [len(t) >= eval_text_length and not t.startswith("##")
+                   for t in gt_txts]
 
     for i, det in enumerate(detections):
         bbox = _bbox_of(det[0])
         det_text = det[1]
+        best_elig = best_inelig = 0.0
         for gt_no in range(len(gt_txts)):
             rect_gt = _bbox_of(np.asarray(gt_rect[gt_no]))
             inter = _intersect(bbox, rect_gt)
             uni = _union(bbox, rect_gt)
             ratio = _area(inter) / float(max(_area(uni), 1e-9))
+            if gt_eligible[gt_no]:
+                best_elig = max(best_elig, ratio)
+            else:
+                best_inelig = max(best_inelig, ratio)
             if ratio > iou_th:
                 if gt_no not in gt_to_detection:
                     gt_to_detection[gt_no] = [0, 0]
@@ -79,10 +93,11 @@ def evaluate_image(
                     tupl[0] = ratio
                     tupl[1] = i
                     detection_to_gt[i] = [gt_no, ratio, edit_dist]
+        if best_inelig > iou_th and best_inelig > best_elig:
+            n_dontcare += 1
 
     for gt_no in range(len(gt_txts)):
-        txt = gt_txts[gt_no]
-        eligible = len(txt) >= eval_text_length and not txt.startswith("##")
+        eligible = gt_eligible[gt_no]
         if eligible:
             gt_e2e += 1
             if gt_matches[gt_no] == 1:
@@ -93,12 +108,18 @@ def evaluate_image(
             if eligible:
                 tp += 1
 
-    return tp, tp_e2e, gt_e2e, tp_e2e_ed1, detection_to_gt
+    return tp, tp_e2e, gt_e2e, tp_e2e_ed1, detection_to_gt, n_dontcare
 
 
 @dataclass
 class E2EMetrics:
-    """Running totals (reference eval.py:708-721)."""
+    """Running totals (reference eval.py:708-721).
+
+    ignore_dontcare=True applies the proper ICDAR don't-care rule:
+    detections overlapping an ignored GT region leave the precision
+    denominator.  Default False = byte-for-byte the reference harness'
+    accounting (it penalizes them, eval.py:715).
+    """
 
     tp_all: int = 0
     gt_all: int = 0
@@ -106,9 +127,10 @@ class E2EMetrics:
     gt_e2e_all: int = 0
     tp_e2e_ed1_all: int = 0
     detections_all: int = 0
+    ignore_dontcare: bool = False
 
     def add_image(self, detections, gt_rect, gt_txts, **kw):
-        tp, tp_e2e, gt_e2e, tp_ed1, det2gt = evaluate_image(
+        tp, tp_e2e, gt_e2e, tp_ed1, det2gt, n_dc = evaluate_image(
             detections, gt_rect, gt_txts, **kw
         )
         self.tp_all += tp
@@ -116,7 +138,7 @@ class E2EMetrics:
         self.tp_e2e_all += tp_e2e
         self.gt_e2e_all += gt_e2e
         self.tp_e2e_ed1_all += tp_ed1
-        self.detections_all += len(detections)
+        self.detections_all += len(detections) - (n_dc if self.ignore_dontcare else 0)
         return tp, tp_e2e, gt_e2e, tp_ed1, det2gt
 
     def summary(self) -> Dict[str, float]:

@@ -148,7 +148,11 @@ class RecognitionHead(nn.Module):
     nclass: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_w=None):
+        """valid_w [N] (optional): per-strip content width in columns.
+        When given, every InstanceNorm computes bucket-width-invariant
+        masked statistics (see fots.ops.instance_norm) so a roi's features
+        do not depend on which padded bucket it was batched into."""
         conv5 = conv(128, (3, 3), 1, name="conv5")
         conv6 = conv(128, (3, 3), 1, name="conv6")
         conv7 = conv(256, (3, 3), 1, name="conv7")
@@ -158,12 +162,12 @@ class RecognitionHead(nn.Module):
         conv11 = conv(self.nclass, (1, 1), 1, bias=True, name="conv11")
 
         x = conv5(x)
-        x = InstanceNorm(128, affine=True, fused_slope=0.01, name="batch5")(x)
+        x = InstanceNorm(128, affine=True, fused_slope=0.01, name="batch5")(x, valid_w)
         x = leaky_relu(conv6(x))
         x = leaky_relu(conv6(x))  # shared weights, applied twice
         x = max_pool(x, (2, 1), (2, 1))
         x = conv7(x)
-        x = InstanceNorm(256, affine=True, fused_slope=0.01, name="batch7")(x)
+        x = InstanceNorm(256, affine=True, fused_slope=0.01, name="batch7")(x, valid_w)
         x = leaky_relu(conv8(x))
         x = leaky_relu(conv8(x))
         x = leaky_relu(conv9(x))
@@ -172,7 +176,7 @@ class RecognitionHead(nn.Module):
         # (2,3) valid conv in height, same-ish in width (reference pads w by 1)
         x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
         x = conv10(x)
-        x = InstanceNorm(256, affine=True, fused_slope=0.01, name="batch10_s")(x)
+        x = InstanceNorm(256, affine=True, fused_slope=0.01, name="batch10_s")(x, valid_w)
         x = nn.Dropout(0.2, broadcast_dims=(1, 2), deterministic=not train, name="drop")(x)
         x = conv11(x)
         x = jnp.squeeze(x, axis=1)  # height collapsed to 1 -> [N, W, nclass]
@@ -322,9 +326,13 @@ class FOTSDetector(nn.Module):
         """Stem only -> shared OCR features (reference models.py:381-385)."""
         return self.stem(images)
 
-    def recognize(self, strips, train: bool = False):
-        """CTC head over RoIRotated strips (reference forward_ocr)."""
-        return self.ocr(strips, train=train)
+    def recognize(self, strips, train: bool = False, valid_w=None):
+        """CTC head over RoIRotated strips (reference forward_ocr).
+
+        valid_w [N] (optional): per-strip content widths for bucket-width-
+        invariant masked InstanceNorm statistics (fots.ops.instance_norm).
+        Same parameters either way — checkpoints are interchangeable."""
+        return self.ocr(strips, train=train, valid_w=valid_w)
 
 
 def init_detector(model: FOTSDetector, rng, image_shape=(1, 64, 64, 3),

@@ -40,13 +40,19 @@ class InstanceNorm(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        from fots.ops.instance_norm import instance_norm
+    def __call__(self, x, valid_w=None):
+        from fots.ops.instance_norm import (instance_norm,
+                                            masked_instance_norm_jnp)
 
         scale = bias = None
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if valid_w is not None:
+            # bucket-width-invariant statistics for padded strips; same
+            # params, so checkpoints are interchangeable with the plain path
+            return masked_instance_norm_jnp(x, valid_w, scale, bias, self.eps,
+                                            negative_slope=self.fused_slope)
         return instance_norm(x, scale, bias, self.eps,
                              negative_slope=self.fused_slope)
 

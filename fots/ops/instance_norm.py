@@ -44,6 +44,38 @@ def instance_norm_jnp(x, scale, bias, eps=1e-5, negative_slope=None):
     return y.astype(x.dtype)
 
 
+def masked_instance_norm_jnp(x, valid_w, scale=None, bias=None, eps=1e-5,
+                             negative_slope=None):
+    """Instance norm with per-sample statistics over columns < ``valid_w``.
+
+    x: [N, H, W, C]; valid_w: [N] int (1..W).  Statistics ignore the
+    padding columns of a bucketed strip, and the output's padding columns
+    are re-zeroed — together this makes the normalized features of a roi
+    INDEPENDENT of the bucket width it was batched into (the unmasked IN's
+    statistics shift with the padding fraction, which measurably corrupts
+    recognition when serve-time buckets differ from train-time buckets).
+
+    Equals instance_norm_jnp followed by re-zeroing when valid_w == W and
+    the input's padding columns are zero.
+    """
+    x32 = x.astype(jnp.float32)
+    n_, h, w, c = x32.shape
+    mask = (jnp.arange(w)[None, :] < valid_w[:, None]).astype(jnp.float32)
+    mask = mask[:, None, :, None]                       # [N,1,W,1]
+    xm = x32 * mask
+    n = (h * valid_w).astype(jnp.float32)[:, None, None, None]
+    s1 = jnp.sum(xm, axis=(1, 2), keepdims=True)
+    s2 = jnp.sum(xm * xm, axis=(1, 2), keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale + bias
+    if negative_slope is not None:
+        y = jnp.where(y >= 0, y, y * negative_slope)
+    return (y * mask).astype(x.dtype)
+
+
 def _channel_tile(h, w, c, itemsize):
     """Largest legal channel tile, or 0 if the Pallas kernel can't apply.
 

@@ -44,6 +44,11 @@ from fots.ops.rroi_align import rroi_align
 # between its batch-dynamic training widths, ocr_process.py:260-263, and
 # its exact per-box inference widths — it just never decodes both ways.)
 STRIP_BUCKETS = (256, 512)
+# Fine grid used when the model was TRAINED with masked InstanceNorm
+# (Trainer(masked_norm=True)): strip features are then bucket-width-
+# invariant by construction, so short words can use narrow buckets —
+# up to 8x less recognition compute than the coarse train-matched grid.
+FINE_STRIP_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
 TARGET_H = 11  # recognition strip height at 1/4 scale (ocr_utils.py:147)
 
 # parameter subtrees kept in f32 under mixed precision: geometry/score
@@ -73,16 +78,17 @@ def cast_params_bf16(variables: Dict, keep_f32=_KEEP_F32) -> Dict:
     return out
 
 
-def strip_width_for_box(w: float, h: float, target_h: int = TARGET_H) -> int:
+def strip_width_for_box(w: float, h: float, target_h: int = TARGET_H,
+                        buckets=FINE_STRIP_BUCKETS) -> int:
     """Reference width rule (ocr_utils.py:148-150): scale to target height,
     add target_h, round down to /32 (min 64), then snap up to a bucket."""
     scale = target_h / max(1.0, h)
     target_gw = int(w * scale) + target_h
     target_gw = max(2, target_gw // 32) * 32
-    for b in STRIP_BUCKETS:
+    for b in buckets:
         if target_gw <= b:
             return b
-    return STRIP_BUCKETS[-1]
+    return buckets[-1]
 
 
 def valid_frames(roi: np.ndarray, width: int, target_h: int = TARGET_H) -> int:
@@ -101,8 +107,14 @@ class FOTSInference:
     def __init__(self, model: FOTSDetector, variables, codec: Optional[LabelCodec] = None,
                  segm_thresh: float = 0.5, iou_th1: float = 0.4, iou_th2: float = 0.2,
                  mixed_precision: bool = False, max_candidates: int = 8192,
-                 mesh=None, expand_w_frac: float = 0.0):
+                 mesh=None, expand_w_frac: float = 0.0,
+                 masked_norm: bool = False):
         self.model = model
+        # masked_norm: the checkpoint was trained with bucket-width-
+        # invariant masked InstanceNorm (Trainer(masked_norm=True)); serve
+        # with the same masking and the fine bucket grid
+        self.masked_norm = masked_norm
+        self.strip_buckets = FINE_STRIP_BUCKETS if masked_norm else STRIP_BUCKETS
         # optional crop-width margin (fraction of box height), the
         # reference accuracy harness' w + h/4 rule (tools/eval.py:575,587).
         # Default 0 = align_ocr parity; measured on an overfit checkpoint
@@ -172,8 +184,13 @@ class FOTSInference:
         @functools.partial(jax.jit, static_argnames=("width",))
         def _recognize(variables, focr, rois, width: int):
             strips = rroi_align(focr, rois, TARGET_H, width, 0.25)
+            valid_w = None
+            if masked_norm:
+                aspect = rois[:, 4] / jnp.maximum(rois[:, 3], 1e-6)
+                valid_w = jnp.clip(jnp.ceil(TARGET_H * aspect),
+                                   1, width).astype(jnp.int32)
             logp = model.apply(variables, strips, train=False,
-                               method=FOTSDetector.recognize)
+                               method=FOTSDetector.recognize, valid_w=valid_w)
             ids = jnp.argmax(logp, axis=-1)
             conf = jnp.max(logp, axis=-1)
             return ids, conf
@@ -282,7 +299,9 @@ class FOTSInference:
             roi, w, h = rroi_from_box(boxes[i], batch_index,
                                       expand_w_frac=self.expand_w_frac)
             rois[i] = roi
-            buckets.setdefault(strip_width_for_box(w, h), []).append(i)
+            buckets.setdefault(
+                strip_width_for_box(w, h, buckets=self.strip_buckets), []
+            ).append(i)
 
         texts = [""] * n
         ids_out: List[Optional[np.ndarray]] = [None] * n
@@ -359,7 +378,9 @@ class FOTSInference:
             for j in range(boxes.shape[0]):
                 roi, w, h = rroi_from_box(boxes[j], i,
                                           expand_w_frac=self.expand_w_frac)
-                buckets.setdefault(strip_width_for_box(w, h), []).append(len(all_rois))
+                buckets.setdefault(
+                    strip_width_for_box(w, h, buckets=self.strip_buckets), []
+                ).append(len(all_rois))
                 all_rois.append(roi)
                 all_keys.append((i, j))
         jobs = []

@@ -44,8 +44,12 @@ POOLED_HEIGHT = 11  # reference ocr_process.py:260
 # the CTC objective: the train step masks logit_lengths down to the
 # reference's batch-dynamic T = ceil(11*max_aspect) (fots/train.py), so a
 # wider compiled bucket only costs FLOPs on masked frames, never changes
-# training dynamics.  (Serving uses the finer STRIP_BUCKETS grid —
-# inference programs are cheap to compile.)
+# training dynamics.  The bucket width DOES leak into the features through
+# the recognition head's InstanceNorm statistics (computed over the padded
+# strip), so serving must run rois at the SAME bucket grid — unless the
+# model is trained with masked (bucket-width-invariant) InstanceNorm,
+# Trainer(masked_norm=True), in which case serving may use the fine
+# FINE_STRIP_BUCKETS grid.  See fots/pipeline.py:STRIP_BUCKETS.
 TRAIN_STRIP_BUCKETS = (256, 512)
 
 

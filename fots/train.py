@@ -162,9 +162,13 @@ def extract_roi_candidates(rng, segm_pred, score_gt, geo_pred, angle_pred,
 
 
 def make_train_step(model: FOTSDetector, multi_scale: bool = True,
-                    ohem: bool = False):
+                    ohem: bool = False, masked_norm: bool = False):
     """Returns step(state, sharded, rep, input_hw, strip_width) jitted per
-    (input shape, strip bucket)."""
+    (input shape, strip bucket).
+
+    masked_norm: train the recognition head with bucket-width-invariant
+    masked InstanceNorm statistics (per-roi valid widths) — strips then
+    normalize identically at any serve-time bucket width."""
     from fots.roirotate import MAX_LABEL_LEN, MAX_ROIS
 
     @functools.partial(jax.jit, static_argnames=("strip_width", "input_hw"),
@@ -194,12 +198,20 @@ def make_train_step(model: FOTSDetector, multi_scale: bool = True,
             )
             strips = rroi_align(out["focr"], batch["rois"], POOLED_HEIGHT,
                                 strip_width, 0.25)
+            valid_w = None
+            if masked_norm:
+                aspect_all = batch["rois"][:, 4] / jnp.maximum(
+                    batch["rois"][:, 3], 1e-6)
+                valid_w = jnp.clip(
+                    jnp.ceil(POOLED_HEIGHT * aspect_all), 1, strip_width
+                ).astype(jnp.int32)
             logp = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 strips,
                 train=True,
                 rngs={"dropout": rng},
                 method=FOTSDetector.recognize,
+                valid_w=valid_w,
             )
             # reference CTC frame window: warp-ctc gets sizes [T]*N with
             # T = ceil(11 * max aspect of the batch) (ocr_process.py:260-263,
@@ -286,9 +298,11 @@ class Trainer:
         mesh=None,
         use_predicted_rois: bool = True,
         ohem: bool = False,
+        masked_norm: bool = False,
     ):
         self.codec = codec or LabelCodec()
         self.model = model or FOTSDetector(nclass=self.codec.num_classes)
+        self.masked_norm = masked_norm
         self.mesh = mesh if mesh is not None else make_mesh()
         self.input_size = input_size
         self.use_predicted_rois = use_predicted_rois
@@ -301,7 +315,7 @@ class Trainer:
             params=jax.tree_util.tree_map(jax.device_put, self.state.params, shardings)
         )
         self._step_fn = make_train_step(self.model, self.model.multi_scale,
-                                        ohem=ohem)
+                                        ohem=ohem, masked_norm=masked_norm)
         self._np_rng = np.random.default_rng(seed)
         self._prev_maps = None  # (candidate pack [B,8,K], (hs, ws)) from prev step
         self._pending_metrics: list = []

@@ -14,7 +14,7 @@ def _det(x0, y0, x1, y1, text):
 def test_evaluate_image_perfect_match():
     gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
     dets = [_det(10, 10, 100, 40, "HELLO")]
-    tp, tp_e2e, gt_e2e, tp_ed1, d2g = evaluate_image(dets, gt, ["HELLO"])
+    tp, tp_e2e, gt_e2e, tp_ed1, d2g, _dc = evaluate_image(dets, gt, ["HELLO"])
     assert (tp, tp_e2e, gt_e2e, tp_ed1) == (1, 1, 1, 1)
     assert d2g[0][0] == 0
 
@@ -22,21 +22,21 @@ def test_evaluate_image_perfect_match():
 def test_evaluate_image_edit_distance_one():
     gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
     dets = [_det(10, 10, 100, 40, "HELLN")]
-    tp, tp_e2e, gt_e2e, tp_ed1, _ = evaluate_image(dets, gt, ["HELLO"])
+    tp, tp_e2e, gt_e2e, tp_ed1, _, _dc = evaluate_image(dets, gt, ["HELLO"])
     assert (tp, tp_e2e, tp_ed1) == (1, 0, 1)
 
 
 def test_evaluate_image_short_gt_excluded():
     gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
     dets = [_det(10, 10, 100, 40, "AB")]
-    tp, tp_e2e, gt_e2e, _, _ = evaluate_image(dets, gt, ["AB"])
+    tp, tp_e2e, gt_e2e, _, _, _dc = evaluate_image(dets, gt, ["AB"])
     assert gt_e2e == 0 and tp == 0  # len < 3 ignored
 
 
 def test_evaluate_image_iou_below_threshold():
     gt = np.array([[10, 10, 100, 10, 100, 40, 10, 40]])
     dets = [_det(200, 200, 280, 240, "HELLO")]
-    tp, tp_e2e, gt_e2e, _, d2g = evaluate_image(dets, gt, ["HELLO"])
+    tp, tp_e2e, gt_e2e, _, d2g, _dc = evaluate_image(dets, gt, ["HELLO"])
     assert (tp, tp_e2e) == (0, 0)
     assert d2g == {}
 
@@ -108,3 +108,21 @@ def test_ocr_html_report(tmp_path):
     assert "HELP" in text and "crop0.png" in text
     assert "&lt;bad&amp;&gt;" in text  # escaped
     assert "accuracy" in text
+
+
+def test_dontcare_detection_excluded_from_precision():
+    """A detection on a ### region: counted against precision by default
+    (reference eval.py:715), excluded under ignore_dontcare=True."""
+    gt = np.array([[0, 0, 100, 0, 100, 30, 0, 30],
+                   [200, 0, 300, 0, 300, 30, 200, 30]], np.float32)
+    txts = ["HELLO", "###"]
+    dets = [(np.array([0, 0, 100, 0, 100, 30, 0, 30, 0.9]), "HELLO"),
+            (np.array([200, 0, 300, 0, 300, 30, 200, 30, 0.8]), "JUNK")]
+    *_, n_dc = evaluate_image(dets, gt, txts)
+    assert n_dc == 1
+    ref = E2EMetrics()
+    ref.add_image(dets, gt, txts)
+    assert ref.summary()["e2e_precision"] == 0.5
+    icdar = E2EMetrics(ignore_dontcare=True)
+    icdar.add_image(dets, gt, txts)
+    assert icdar.summary()["e2e_precision"] == 1.0

@@ -94,3 +94,36 @@ def test_non_affine(rng):
     got = np.asarray(instance_norm(jnp.asarray(x), use_pallas=False))
     want = _ref(x, 1.0, 0.0)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_masked_instance_norm_full_width_matches_plain():
+    import jax.numpy as jnp
+
+    from fots.ops.instance_norm import (instance_norm_jnp,
+                                        masked_instance_norm_jnp)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 11, 32, 16)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    want = instance_norm_jnp(x, scale, bias, 1e-5, 0.01)
+    got = masked_instance_norm_jnp(x, jnp.full((2,), 32), scale, bias, 1e-5, 0.01)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_masked_instance_norm_ignores_padding():
+    """Statistics over a zero-padded strip equal the unpadded strip's."""
+    import jax.numpy as jnp
+
+    from fots.ops.instance_norm import masked_instance_norm_jnp
+
+    rng = np.random.default_rng(1)
+    content = rng.standard_normal((1, 11, 40, 16)).astype(np.float32)
+    pad = np.zeros((1, 11, 88, 16), np.float32)
+    x128 = jnp.asarray(np.concatenate([content, pad], axis=2))
+    x40 = jnp.asarray(content)
+    v = jnp.full((1,), 40)
+    y40 = np.asarray(masked_instance_norm_jnp(x40, v, None, None, 1e-5, None))
+    y128 = np.asarray(masked_instance_norm_jnp(x128, v, None, None, 1e-5, None))
+    np.testing.assert_allclose(y128[:, :, :40], y40, atol=5e-6)
+    assert np.abs(y128[:, :, 40:]).max() == 0.0

@@ -115,3 +115,27 @@ def test_head_conv_grads_nonzero():
             g = np.asarray(grads[head][leaf])
             assert np.isfinite(g).all(), (head, leaf)
             assert np.abs(g).max() > 0, f"zero grad through {head}/{leaf}"
+
+
+def test_recognition_bucket_invariance_with_masked_norm(detector_and_params):
+    """With valid_w, a strip's log-probs on its content frames are the same
+    whatever bucket width it was padded into (masked InstanceNorm)."""
+    model, variables = detector_and_params
+    rng = np.random.default_rng(3)
+    k = 40  # content width
+    content = rng.standard_normal((2, 11, k, 64)).astype(np.float32)
+    pad = lambda W: np.concatenate(
+        [content, np.zeros((2, 11, W - k, 64), np.float32)], axis=2)
+    v = jnp.full((2,), k)
+    lp64 = model.apply(variables, jnp.asarray(pad(64)), train=False,
+                       valid_w=v, method=model.recognize)
+    lp128 = model.apply(variables, jnp.asarray(pad(128)), train=False,
+                        valid_w=v, method=model.recognize)
+    np.testing.assert_allclose(np.asarray(lp128)[:, :k], np.asarray(lp64)[:, :k],
+                               atol=2e-4)
+    # and without valid_w the same comparison fails (documents the skew)
+    lp64u = model.apply(variables, jnp.asarray(pad(64)), train=False,
+                        method=model.recognize)
+    lp128u = model.apply(variables, jnp.asarray(pad(128)), train=False,
+                         method=model.recognize)
+    assert np.abs(np.asarray(lp128u)[:, :k] - np.asarray(lp64u)[:, :k]).max() > 1e-2

@@ -122,3 +122,22 @@ def test_uint8_serving_matches_f32(engine, rng):
     c_u8, _ = engine._dispatch_detect(batch_u8)
     c_f32, _ = engine._dispatch_detect(batch_u8.astype(np.float32) / 128.0 - 1.0)
     np.testing.assert_array_equal(np.asarray(c_u8), np.asarray(c_f32))
+
+
+def test_masked_norm_engine_fine_buckets():
+    """masked_norm engine serves on the fine bucket grid and recognizes
+    through the masked-IN path."""
+    from fots.pipeline import FINE_STRIP_BUCKETS
+
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    eng = FOTSInference(model, variables, masked_norm=True)
+    assert eng.strip_buckets == FINE_STRIP_BUCKETS
+    import jax.numpy as jnp
+
+    focr = jnp.asarray(np.random.default_rng(0)
+                       .standard_normal((1, 32, 32, 64)).astype(np.float32))
+    boxes = np.array([[10, 40, 10, 20, 80, 20, 80, 40, 0.9],
+                      [20, 100, 20, 88, 120, 88, 120, 100, 0.8]], np.float32)
+    texts = eng.recognize_boxes(boxes, focr)
+    assert len(texts) == 2

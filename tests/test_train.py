@@ -144,3 +144,18 @@ def test_sample_rois_candidate_path_matches_map_path():
                           pred_map_hw=(HS, HS), jitter=False)
     np.testing.assert_allclose(rb_cand.rois, rb_map.rois, rtol=1e-5)
     assert rb_cand.n_predicted == rb_map.n_predicted > 0
+
+
+def test_masked_norm_train_step(tmp_path_factory):
+    """Trainer(masked_norm=True): one step runs, loss finite, grads flow."""
+    tmpdir = tmp_path_factory.mktemp("data_mn")
+    list_path = write_icdar_dataset(str(tmpdir), n_images=2)
+    gen = detection_generator(list_path, input_size=128, batch_size=2, seed=1,
+                              in_train=True)
+    batch = next(gen)
+    trainer = Trainer(model=FOTSDetector(nclass=87), codec=LabelCodec(),
+                      input_size=128, mesh=make_mesh(n_data=2), seed=0,
+                      masked_norm=True)
+    losses = [trainer.step(batch)["loss"] for _ in range(4)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
