@@ -164,8 +164,11 @@ def main():
     extra = {}
     codec = LabelCodec()
     model = FOTSDetector(nclass=codec.num_classes)
-    variables_f32 = init_detector(model, jax.random.PRNGKey(0),
-                                  image_shape=(1, H, W, 3))
+    # tiny init shape: the model is fully convolutional, so param shapes
+    # (and values — fan-in initializers never see activations) are
+    # independent of the serving resolution; a big init shape only buys
+    # minutes of pointless remote compile
+    variables_f32 = init_detector(model, jax.random.PRNGKey(0))
     # synthetic config: empty live score map (NMS cost charged separately
     # on the synthetic candidate field below)
     variables_f32["params"]["act"]["bias"] = jnp.full_like(

@@ -341,6 +341,13 @@ def init_detector(model: FOTSDetector, rng, image_shape=(1, 64, 64, 3),
 
     flax only materializes params touched by the traced method, so a plain
     ``model.init(rng, images)`` would miss the recognition head.
+
+    The whole init is jitted into ONE device program: un-jitted flax init
+    dispatches every traced op separately, which costs minutes over a
+    remote-chip link.  Parameter values depend only on parameter shapes and
+    the rng (fan-in initializers never see activations), so the fully-conv
+    model can — and should — be initialized at the tiny default
+    ``image_shape`` no matter what resolution it will serve at.
     """
 
     def touch_all(m, images, strips):
@@ -348,5 +355,11 @@ def init_detector(model: FOTSDetector, rng, image_shape=(1, 64, 64, 3),
         m.recognize(strips, train=False)
         return out
 
-    return model.init(rng, jnp.zeros(image_shape), jnp.zeros(strip_shape),
-                      method=touch_all)
+    import jax
+
+    @jax.jit
+    def _init(rng):
+        return model.init(rng, jnp.zeros(image_shape), jnp.zeros(strip_shape),
+                          method=touch_all)
+
+    return _init(rng)

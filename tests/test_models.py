@@ -139,3 +139,19 @@ def test_recognition_bucket_invariance_with_masked_norm(detector_and_params):
     lp128u = model.apply(variables, jnp.asarray(pad(128)), train=False,
                          method=model.recognize)
     assert np.abs(np.asarray(lp128u)[:, :k] - np.asarray(lp64u)[:, :k]).max() > 1e-2
+
+
+def test_init_values_independent_of_traced_shape():
+    """init_detector at any image/strip shape yields byte-identical params.
+
+    The serving CLIs and bench rely on this: they init at the tiny default
+    shape regardless of serving resolution (fan-in initializers only see
+    parameter shapes, never activations)."""
+    model = FOTSDetector(nclass=87)
+    a = init_detector(model, jax.random.PRNGKey(0))
+    b = init_detector(model, jax.random.PRNGKey(0),
+                      image_shape=(1, 128, 128, 3), strip_shape=(2, 11, 96, 64))
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

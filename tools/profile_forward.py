@@ -55,8 +55,7 @@ def main():
 
     codec = LabelCodec()
     model = FOTSDetector(nclass=codec.num_classes)
-    variables = init_detector(model, jax.random.PRNGKey(0),
-                              image_shape=(1, H, W, 3))
+    variables = init_detector(model, jax.random.PRNGKey(0))
     dt = jnp.float32 if args.f32 else jnp.bfloat16
     if not args.f32:
         variables = cast_params_bf16(dict(variables))
