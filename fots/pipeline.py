@@ -228,11 +228,19 @@ class FOTSInference:
         return arr
 
     def _put_rois(self, rois_np: np.ndarray):
-        """Device-put rois sharded over 'data', padding the count to a
-        multiple of the data-axis size (padded slots get a harmless dummy
-        roi; callers slice outputs back to the true count)."""
+        """Device-put rois sharded over 'data', padding the count to the
+        next power of two (min 8) and to a multiple of the data-axis size.
+
+        The roi count is a *shape* of the compiled recognition program, so
+        live box counts — different on every real image — would otherwise
+        compile a fresh program per distinct count (~tens of seconds each
+        over the remote link).  A power-of-two grid caps the program count
+        at log2(max rois) per strip bucket, for at most 2x padded compute
+        (padded slots get a harmless dummy roi; callers slice outputs back
+        to the true count)."""
         n = rois_np.shape[0]
-        m = self._pad_to_shards(n)
+        m = max(8, 1 << (max(n, 1) - 1).bit_length())
+        m = self._pad_to_shards(max(m, n))
         if m != n:
             pad = np.tile(np.asarray(self._DUMMY_ROI, np.float32), (m - n, 1))
             rois_np = np.concatenate([rois_np, pad], axis=0)

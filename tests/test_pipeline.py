@@ -141,3 +141,14 @@ def test_masked_norm_engine_fine_buckets():
                       [20, 100, 20, 88, 120, 88, 120, 100, 0.8]], np.float32)
     texts = eng.recognize_boxes(boxes, focr)
     assert len(texts) == 2
+
+
+def test_put_rois_pads_to_pow2_grid(engine):
+    """Roi counts are a compiled-program shape: live counts must collapse
+    onto a small grid (next pow2, min 8) or every distinct count compiles
+    a fresh recognition program on a real serving stream."""
+    for n, want in [(1, 8), (8, 8), (9, 16), (16, 16), (17, 32), (100, 128)]:
+        rois = np.tile(np.asarray(engine._DUMMY_ROI, np.float32), (n, 1))
+        out = np.asarray(engine._put_rois(rois))
+        assert out.shape == (want, 6), (n, out.shape)
+        np.testing.assert_array_equal(out[:n], rois)
