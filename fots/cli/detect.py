@@ -21,7 +21,7 @@ import numpy as np
 
 def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
                 mixed_precision=False, n_data=None, n_model=1,
-                expand_w_frac=0.0, masked_norm=None):
+                expand_w_frac=0.0, masked_norm=None, beam=0):
     """masked_norm None = auto: read save_path/train_config.json written by
     fots.cli.train_joint next to the checkpoint."""
     import jax
@@ -64,7 +64,7 @@ def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
     return FOTSInference(model, dict(variables), segm_thresh=segm_thresh,
                          mixed_precision=mixed_precision, mesh=mesh,
                          expand_w_frac=expand_w_frac,
-                         masked_norm=bool(masked_norm))
+                         masked_norm=bool(masked_norm), beam=beam)
 
 
 def main(argv=None):

@@ -27,6 +27,13 @@ def main(argv=None):
                         help="optional crop-width margin as a fraction of box "
                              "height (reference eval's w + h/4, eval.py:575)")
     parser.add_argument("-eval_text_length", type=int, default=3)
+    parser.add_argument("-beam", type=int, default=0,
+                        help="prefix beam search width for recognition "
+                             "(0 = greedy argmax, reference parity)")
+    parser.add_argument("-conf_gate", action="store_true",
+                        help="reference low-confidence gate (eval.py:667-669): "
+                             "skip detections with mean CTC confidence < 0.01 "
+                             "whose transcription is exactly 3 chars")
     parser.add_argument("-ignore_dontcare", action="store_true",
                         help="ICDAR don't-care rule: detections overlapping "
                              "###/short GT leave the precision denominator "
@@ -47,7 +54,7 @@ def main(argv=None):
     from fots.evaluate import E2EMetrics
 
     engine = load_engine(args.model, args.h5, segm_thresh=args.segm_thresh,
-                         expand_w_frac=args.expand_w)
+                         expand_w_frac=args.expand_w, beam=args.beam)
     metrics = E2EMetrics(ignore_dontcare=args.ignore_dontcare)
     dump = []
 
@@ -67,6 +74,11 @@ def main(argv=None):
         # never enter the precision denominator
         results = [r for r in results
                    if len(r["text"].strip()) >= args.eval_text_length]
+        if args.conf_gate:
+            # reference eval.py:667-669: `if conf < 0.01 and len(det_text)==3`
+            results = [r for r in results
+                       if not (r.get("conf", 1.0) < 0.01
+                               and len(r["text"].strip()) == 3)]
         if args.split_words:
             # note: the reference also computes a 2x-scale second OCR pass
             # here (eval.py:608-636 labels_pred2) but never consumes it —
@@ -75,20 +87,25 @@ def main(argv=None):
             for r in results:
                 if r.get("words"):
                     dets.extend((np.concatenate([w["quad"].reshape(8),
-                                                 r["box"][8:9]]), w["text"])
+                                                 r["box"][8:9]]), w["text"],
+                                 r.get("conf"))
                                 for w in r["words"]
                                 if len(w["text"].strip()) >= args.eval_text_length)
                 else:
-                    dets.append((r["box"], r["text"]))
+                    dets.append((r["box"], r["text"], r.get("conf")))
         else:
-            dets = [(r["box"], r["text"]) for r in results]
+            dets = [(r["box"], r["text"], r.get("conf")) for r in results]
+        confs = [c for *_x, c in dets]
+        dets = [(b, t) for b, t, _c in dets]
         metrics.add_image(dets, gt_rect, labels,
                           eval_text_length=args.eval_text_length)
         if args.dump_json is not None:
             dump.append({
                 "image": path,
                 "detections": [{"box": np.asarray(b)[:8].tolist(),
-                                "text": t} for b, t in dets],
+                                "text": t,
+                                "conf": None if c is None else float(c)}
+                               for (b, t), c in zip(dets, confs)],
                 "gt": [{"box": np.asarray(q).reshape(-1)[:8].tolist(),
                         "text": l} for q, l in zip(gt_rect, labels)],
             })

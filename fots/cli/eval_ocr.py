@@ -25,6 +25,8 @@ def main(argv=None):
     parser.add_argument("-out_html", default=None,
                         help="HTML report (reference ocr_test_utils vis_html)")
     parser.add_argument("-worst", type=int, default=10)
+    parser.add_argument("-beam", type=int, default=0,
+                        help="prefix beam search width (0 = greedy argmax)")
     args = parser.parse_args(argv)
 
     from fots.data.ocr_crops import ocr_crop_generator
@@ -50,7 +52,7 @@ def main(argv=None):
     gen = ocr_crop_generator(args.train_list, codec=trainer.codec, batch_size=4,
                              norm_height=norm_height, in_train=False)
     for batch in gen:
-        preds = trainer.predict_texts(batch["images"])
+        preds = trainer.predict_texts(batch["images"], beam=args.beam)
         for p, gt in zip(preds, batch["texts"]):
             metrics.add(p, gt)
 

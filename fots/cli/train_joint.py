@@ -37,11 +37,12 @@ def main(argv=None):
                              "overfit/memorization runs)")
     parser.add_argument("-ohem", action="store_true",
                         help="OHEM score loss (FOTS paper) instead of dice")
-    parser.add_argument("-masked_norm", action="store_true",
-                        help="train the recognition head with bucket-width-"
-                             "invariant masked InstanceNorm (strips then "
-                             "serve correctly at any bucket width; recorded "
-                             "in save_path/train_config.json)")
+    parser.add_argument("-no_masked_norm", action="store_true",
+                        help="legacy mode: whole-strip InstanceNorm stats "
+                             "(pre-round-3 checkpoints).  Default is masked "
+                             "bucket-width-invariant InstanceNorm so serving "
+                             "uses the fine bucket grid; the choice is "
+                             "recorded in save_path/train_config.json")
     parser.add_argument("-debug", default=None, metavar="DIR",
                         help="dump sampled roi crops to DIR (reference "
                              "data/tshow debug hook, ocr_process.py:224-249)")
@@ -81,7 +82,7 @@ def main(argv=None):
         mesh=mesh,
         use_predicted_rois=not args.gt_rois_only,
         ohem=args.ohem,
-        masked_norm=args.masked_norm,
+        masked_norm=not args.no_masked_norm,
     )
     # sidecar read by fots.cli.detect.load_engine so eval/serve pick the
     # matching normalization + bucket grid automatically
@@ -89,7 +90,7 @@ def main(argv=None):
     import json
 
     with open(os.path.join(args.save_path, "train_config.json"), "w") as f:
-        json.dump({"masked_norm": args.masked_norm}, f)
+        json.dump({"masked_norm": not args.no_masked_norm}, f)
 
     if args.h5 and os.path.exists(args.h5):
         sd = load_torch_h5(args.h5)

@@ -47,6 +47,11 @@ class LabelCodec:
     def num_classes(self) -> int:
         return len(self.alphabet) + 1
 
+    #: ids below this are blank/control, not characters (used by the
+    #: serving confidence mean — reference tools/eval.py:646 `labels > 3`
+    #: under the 4-offset codec; here only blank=0 is reserved)
+    reserved_ids: int = 1
+
     def encode(self, texts: Sequence[str] | str) -> Tuple[np.ndarray, np.ndarray]:
         """Encode text(s) to a flat id array + per-text lengths.
 
@@ -147,6 +152,9 @@ class Codec4:
     @property
     def num_classes(self) -> int:
         return len(self.charset) + 4
+
+    #: ids 0-3 are reserved (blank/control/unknown) — reference eval.py:646
+    reserved_ids: int = 4
 
     def encode(self, text: str) -> List[int]:
         return [self._dict.get(c, 3) for c in text]

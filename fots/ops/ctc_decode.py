@@ -84,3 +84,54 @@ def beam_decode_text(log_probs: np.ndarray, codec, beam_width: int = 8) -> str:
     ids = beams[0][0]
     return "".join(codec.alphabet[i - 1] for i in ids
                    if 0 < i <= len(codec.alphabet))
+
+
+def prefix_beam_search_topk(
+    frame_syms: np.ndarray,
+    frame_logps: np.ndarray,
+    blank_logps: np.ndarray,
+    beam_width: int = 8,
+    blank: int = 0,
+) -> List[Tuple[Tuple[int, ...], float]]:
+    """Prefix beam search over device-pruned per-frame top-k log-probs.
+
+    The serving path ships only each frame's top-``k`` symbols
+    (``frame_syms``/``frame_logps``, [T, k]) plus the blank log-prob
+    ([T]) instead of the full [T, nclass] matrix — tens of floats per
+    frame instead of thousands over the host link.  Identical to
+    :func:`prefix_beam_search` with ``top_k_per_frame=k`` whenever blank
+    is in every frame's true top-k (it is appended explicitly here, so
+    blank transitions are always exact).
+    """
+    T = frame_syms.shape[0]
+    beams = {(): (0.0, NEG_INF)}
+    for t in range(T):
+        # per-frame candidate (symbol, logp) list: pruned top-k + blank
+        cand = {int(blank): float(blank_logps[t])}
+        for s, lp in zip(frame_syms[t], frame_logps[t]):
+            cand.setdefault(int(s), float(lp))
+        next_beams: dict = defaultdict(lambda: (NEG_INF, NEG_INF))
+
+        def accumulate(prefix, pb, pnb):
+            opb, opnb = next_beams[prefix]
+            next_beams[prefix] = (_logsumexp(opb, pb), _logsumexp(opnb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            p_total = _logsumexp(pb, pnb)
+            for s, p in cand.items():
+                if s == blank:
+                    accumulate(prefix, p_total + p, NEG_INF)
+                    continue
+                last = prefix[-1] if prefix else None
+                if s == last:
+                    accumulate(prefix, NEG_INF, pnb + p)
+                    accumulate(prefix + (s,), NEG_INF, pb + p)
+                else:
+                    accumulate(prefix + (s,), NEG_INF, p_total + p)
+        beams = dict(
+            sorted(next_beams.items(),
+                   key=lambda kv: -_logsumexp(*kv[1]))[:beam_width]
+        )
+    out = [(p, _logsumexp(*v)) for p, v in beams.items()]
+    out.sort(key=lambda kv: -kv[1])
+    return out

@@ -104,12 +104,39 @@ def valid_frames(roi: np.ndarray, width: int, target_h: int = TARGET_H) -> int:
 class FOTSInference:
     """Stateful wrapper owning compiled programs + device-resident params."""
 
+    #: per-frame symbol fanout shipped to the host beam search (matches
+    #: prefix_beam_search's default top_k_per_frame pruning)
+    BEAM_TOPK = 16
+
     def __init__(self, model: FOTSDetector, variables, codec: Optional[LabelCodec] = None,
                  segm_thresh: float = 0.5, iou_th1: float = 0.4, iou_th2: float = 0.2,
                  mixed_precision: bool = False, max_candidates: int = 8192,
                  mesh=None, expand_w_frac: float = 0.0,
-                 masked_norm: bool = False):
+                 masked_norm: bool = False, beam: int = 0,
+                 transport: str = "u8", max_boxes: Optional[int] = None):
         self.model = model
+        # transport: how batched serving ships pixels over the host link.
+        #   "u8"     — letterboxed uint8 BGR, normalized on device (exact);
+        #   "yuv420" — Y full-res + chroma at 1/2 res (1.5 B/px vs 3),
+        #              reconstructed to BGR on device.  Halves host-link
+        #              bytes; the source JPEGs are 4:2:0-subsampled already,
+        #              so serving fidelity matches the decoded file's chroma
+        #              content (detector maps differ by ~1 u8 LSB).  Worth
+        #              2x e2e throughput when the link, not the chip, is the
+        #              bottleneck (see docs/PERFORMANCE.md "link floor").
+        if transport not in ("u8", "yuv420"):
+            raise ValueError(f"unknown transport {transport!r}")
+        self.transport = transport
+        # max_boxes: optional per-image cap on detections entering
+        # recognition (top-k by merged NMS score).  The reference has no
+        # cap; production serving uses one to bound tail latency on noisy
+        # frames.  None = reference parity (recognize everything).
+        self.max_boxes = max_boxes
+        # beam > 0: decode recognition with prefix beam search of that
+        # width (host side, over device-pruned top-k log-probs) instead of
+        # greedy argmax.  Applies to the per-image path (__call__ /
+        # recognize_boxes) used by eval; the batched stream keeps greedy.
+        self.beam = int(beam)
         # masked_norm: the checkpoint was trained with bucket-width-
         # invariant masked InstanceNorm (Trainer(masked_norm=True)); serve
         # with the same masking and the fine bucket grid
@@ -168,18 +195,59 @@ class FOTSInference:
             maps = jnp.transpose(maps, (0, 3, 1, 2)).astype(jnp.float32)
             return maps, out["focr"]
 
-        @jax.jit
-        def _forward_sparse(variables, images):
-            """Forward + on-device NMS candidate extraction: ships only the
-            top-k above-threshold pixels (fots/ops/nms.py:extract_candidates)
-            instead of full head maps — the host link is the e2e bottleneck."""
-            out = model.apply(variables, _norm(images), train=False)
+        def _detect_body(variables, images_f):
+            out = model.apply(variables, images_f, train=False)
             cands = extract_candidates(
                 out["segm"][0][..., 0].astype(jnp.float32),
                 out["rbox"][0].astype(jnp.float32),
                 out["angle"][0].astype(jnp.float32),
                 self.max_candidates, segm_thresh)
             return cands, out["focr"]
+
+        @jax.jit
+        def _forward_sparse(variables, images):
+            """Forward + on-device NMS candidate extraction: ships only the
+            top-k above-threshold pixels (fots/ops/nms.py:extract_candidates)
+            instead of full head maps — the host link is the e2e bottleneck."""
+            return _detect_body(variables, _norm(images))
+
+        @jax.jit
+        def _forward_sparse_yuv(variables, y, uv):
+            """yuv420 transport: reconstruct BGR on device from Y [B,H,W]
+            u8 + chroma [B,H/2,W/2,2] u8 (cv2 COLOR_BGR2YUV convention:
+            U = 0.492(B-Y)+128, V = 0.877(R-Y)+128), then normalize.
+            Chroma is upsampled nearest — the 4:2:0 source JPEGs carry no
+            finer chroma to recover."""
+            ct = jnp.bfloat16 if mixed_precision else jnp.float32
+            yf = y.astype(jnp.float32)
+            uvf = uv.astype(jnp.float32) - 128.0
+            # nearest 2x chroma upsample
+            uvf = jnp.repeat(jnp.repeat(uvf, 2, axis=1), 2, axis=2)
+            uvf = uvf[:, : yf.shape[1], : yf.shape[2]]
+            u, v = uvf[..., 0], uvf[..., 1]
+            b = yf + u / 0.492
+            r = yf + v / 0.877
+            g = (yf - 0.299 * r - 0.114 * b) / 0.587
+            bgr = jnp.stack([b, g, r], axis=-1)
+            images_f = (jnp.clip(bgr, 0.0, 255.0) / 128.0 - 1.0).astype(ct)
+            return _detect_body(variables, images_f)
+
+        # first id that counts as a real character for the confidence mean:
+        # the reference computes conf over frames with ``labels > 3`` under
+        # its 4-offset codec (tools/eval.py:646); for a blank-at-0 codec the
+        # analogous rule is id > 0 (any non-blank frame)
+        self._char_id_start = getattr(self.codec, "reserved_ids", 1)
+
+        def _box_conf(ids, logp_max, char_start: int):
+            """Per-box mean CTC confidence, the reference's
+            ``np.mean(np.exp(ctc_f.max(2)[labels > 3]))``
+            (tools/eval.py:645-652), computed on device: mean of
+            exp(max logp) over character frames (0.0 when no char frame —
+            the reference would produce NaN there, but such boxes decode to
+            the empty string and are dropped before gating anyway)."""
+            mask = (ids >= char_start).astype(jnp.float32)
+            num = jnp.sum(jnp.exp(logp_max.astype(jnp.float32)) * mask, axis=-1)
+            return num / jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
 
         @functools.partial(jax.jit, static_argnames=("width",))
         def _recognize(variables, focr, rois, width: int):
@@ -192,8 +260,28 @@ class FOTSInference:
             logp = model.apply(variables, strips, train=False,
                                method=FOTSDetector.recognize, valid_w=valid_w)
             ids = jnp.argmax(logp, axis=-1)
-            conf = jnp.max(logp, axis=-1)
+            conf = _box_conf(ids, jnp.max(logp, axis=-1), self._char_id_start)
             return ids, conf
+
+        @functools.partial(jax.jit, static_argnames=("width",))
+        def _recognize_topk(variables, focr, rois, width: int):
+            """Beam-decode variant: also ship each frame's top-k symbol
+            log-probs + the blank log-prob (tens of floats/frame instead of
+            the full nclass row) for the host prefix beam search."""
+            strips = rroi_align(focr, rois, TARGET_H, width, 0.25)
+            valid_w = None
+            if masked_norm:
+                aspect = rois[:, 4] / jnp.maximum(rois[:, 3], 1e-6)
+                valid_w = jnp.clip(jnp.ceil(TARGET_H * aspect),
+                                   1, width).astype(jnp.int32)
+            logp = model.apply(variables, strips, train=False,
+                               method=FOTSDetector.recognize, valid_w=valid_w)
+            ids = jnp.argmax(logp, axis=-1)
+            conf = _box_conf(ids, jnp.max(logp, axis=-1), self._char_id_start)
+            k = min(self.BEAM_TOPK, logp.shape[-1])
+            top_lp, top_ids = jax.lax.top_k(logp.astype(jnp.float32), k)
+            blank_lp = logp[..., 0].astype(jnp.float32)
+            return ids, conf, top_lp, top_ids, blank_lp
 
         @functools.partial(jax.jit, static_argnames=("width",))
         def _recognize_from_image(variables, images, rois, width: int):
@@ -206,11 +294,15 @@ class FOTSInference:
                                 method=FOTSDetector.forward_features)
             logp = model.apply(variables, feats, train=False,
                                method=FOTSDetector.recognize)
-            return jnp.argmax(logp, axis=-1), jnp.max(logp, axis=-1)
+            ids = jnp.argmax(logp, axis=-1)
+            conf = _box_conf(ids, jnp.max(logp, axis=-1), self._char_id_start)
+            return ids, conf
 
         self._forward = _forward
         self._forward_sparse = _forward_sparse
+        self._forward_sparse_yuv = _forward_sparse_yuv
         self._recognize = _recognize
+        self._recognize_topk = _recognize_topk
         self._recognize_from_image = _recognize_from_image
 
     # -------- mesh helpers --------
@@ -262,22 +354,31 @@ class FOTSInference:
         angle = np.moveaxis(maps[:, 5:7], 1, -1)
         return segm, rbox, angle, focr
 
-    def detect_boxes_batch(self, images_norm: np.ndarray):
+    def detect_boxes_batch(self, batch):
         """Sparse detection path: device top-k candidate extraction, then
-        per-image host NMS.  Returns (list of boxes [Ni,9], focr)."""
-        n = images_norm.shape[0]
-        hs, ws = images_norm.shape[1] // 4, images_norm.shape[2] // 4
-        m = self._pad_to_shards(n)
-        if m != n:  # pad batch so it shards evenly over 'data'
-            images_norm = np.concatenate(
-                [images_norm, np.zeros((m - n,) + images_norm.shape[1:],
-                                       images_norm.dtype)], axis=0)
-        cands_dev, focr = self._forward_sparse(
-            self.variables, self._put_batch(images_norm))
+        per-image host NMS.  ``batch``: [B,H,W,3] images (u8/f32) or the
+        (Y, UV) pair from a yuv420 letterbox.  Returns (boxes, focr)."""
+        lead = batch[0] if isinstance(batch, tuple) else batch
+        n = lead.shape[0]
+        hs, ws = lead.shape[1] // 4, lead.shape[2] // 4
+        cands_dev, focr = self._dispatch_detect(batch)
         cands = np.asarray(cands_dev)  # [B, 8, k] — the only map-side transfer
         boxes = get_boxes_from_candidates_batch(
             cands[:n], hs, ws, self.segm_thresh, self.iou_th1, self.iou_th2)
-        return boxes, focr
+        return self._cap_boxes(boxes), focr
+
+    def _cap_boxes(self, per_image_boxes):
+        """Optional top-``max_boxes``-by-score cap per image (see __init__);
+        original NMS order is preserved among the kept boxes."""
+        if self.max_boxes is None:
+            return per_image_boxes
+        out = []
+        for b in per_image_boxes:
+            if b.shape[0] > self.max_boxes:
+                keep = np.argsort(-b[:, 8], kind="stable")[: self.max_boxes]
+                b = b[np.sort(keep)]
+            out.append(b)
+        return out
 
     def detect(self, image_bgr: np.ndarray, scale_up: bool = False):
         """Detect text boxes in one raw BGR image.  Returns (boxes [N,9] in
@@ -300,7 +401,7 @@ class FOTSInference:
         """
         n = boxes.shape[0]
         if n == 0:
-            return ([], []) if return_ids else []
+            return ([], [], []) if return_ids else []
         buckets: Dict[int, List[int]] = {}
         rois = np.zeros((n, 6), np.float32)
         for i in range(n):
@@ -313,32 +414,66 @@ class FOTSInference:
 
         texts = [""] * n
         ids_out: List[Optional[np.ndarray]] = [None] * n
+        confs = np.zeros((n,), np.float32)
         for width, idxs in sorted(buckets.items()):
             sel = self._put_rois(rois[np.asarray(idxs)])
+            beams = None
             if images_norm is not None:
-                ids, _conf = self._recognize_from_image(
+                ids, conf = self._recognize_from_image(
                     self.variables, jnp.asarray(images_norm), sel, width * 4)
+            elif self.beam > 0:
+                ids, conf, top_lp, top_ids, blank_lp = self._recognize_topk(
+                    self.variables, focr, sel, width)
+                beams = (np.asarray(top_lp), np.asarray(top_ids),
+                         np.asarray(blank_lp))
             else:
-                ids, _conf = self._recognize(self.variables, focr, sel, width)
+                ids, conf = self._recognize(self.variables, focr, sel, width)
             ids = np.asarray(ids)[: len(idxs)]
+            conf = np.asarray(conf)[: len(idxs)]
             decoded = self.codec.decode_batch(ids)
+            if beams is not None:
+                from fots.ops.ctc_decode import prefix_beam_search_topk
+
+                top_lp, top_ids, blank_lp = beams
+                for j in range(len(idxs)):
+                    hyp = prefix_beam_search_topk(
+                        top_ids[j], top_lp[j], blank_lp[j],
+                        beam_width=self.beam)
+                    if hyp:
+                        decoded[j] = self.codec.decode_ids(hyp[0][0], raw=True)
             for j, i in enumerate(idxs):
                 texts[i] = decoded[j]
                 ids_out[i] = ids[j]
-        return (texts, ids_out) if return_ids else texts
+                confs[i] = conf[j]
+        return (texts, ids_out, confs) if return_ids else texts
 
     # -------- batched serving --------
 
     def _letterbox(self, images_bgr, serve_hw):
         """Letterbox to the fixed serving shape, staying uint8: the batch
         ships to the device raw (1 byte/px) and is normalized on device
-        (see ``_norm``) — 4x less host-link traffic than f32."""
+        (see ``_norm``) — 4x less host-link traffic than f32.  With
+        ``transport='yuv420'`` the batch is a (Y, UV_half) pair instead —
+        1.5 bytes/px, reconstructed to BGR on device."""
         import cv2
 
         H, W = serve_hw
         n = len(images_bgr)
-        batch = np.zeros((n, H, W, 3), np.uint8)
         scales = []
+        if self.transport == "yuv420":
+            ybuf = np.zeros((n, H, W), np.uint8)
+            uvbuf = np.full((n, H // 2, W // 2, 2), 128, np.uint8)
+            for i, im in enumerate(images_bgr):
+                s = min(H / im.shape[0], W / im.shape[1])
+                nh, nw = int(im.shape[0] * s), int(im.shape[1] * s)
+                yuv = cv2.cvtColor(cv2.resize(im, (nw, nh)), cv2.COLOR_BGR2YUV)
+                ybuf[i, :nh, :nw] = yuv[..., 0]
+                uvbuf[i, : (nh + 1) // 2, : (nw + 1) // 2] = cv2.resize(
+                    yuv[..., 1:], ((nw + 1) // 2, (nh + 1) // 2),
+                    interpolation=cv2.INTER_AREA)
+                scales.append(s)
+            return (ybuf, uvbuf), scales
+        batch = np.zeros((n, H, W, 3), np.uint8)
         for i, im in enumerate(images_bgr):
             s = min(H / im.shape[0], W / im.shape[1])
             nh, nw = int(im.shape[0] * s), int(im.shape[1] * s)
@@ -346,9 +481,23 @@ class FOTSInference:
             scales.append(s)
         return batch, scales
 
-    def _dispatch_detect(self, images_norm: np.ndarray):
+    def _dispatch_detect(self, batch):
         """Dispatch the sparse detection program; returns device handles
-        (cands_dev, focr) without synchronizing."""
+        (cands_dev, focr) without synchronizing.  ``batch`` is either a
+        [B,H,W,3] array (u8/f32 transport) or a (Y, UV) pair (yuv420)."""
+        if isinstance(batch, tuple):
+            y, uv = batch
+            n = y.shape[0]
+            m = self._pad_to_shards(n)
+            if m != n:
+                y = np.concatenate(
+                    [y, np.zeros((m - n,) + y.shape[1:], y.dtype)], axis=0)
+                uv = np.concatenate(
+                    [uv, np.full((m - n,) + uv.shape[1:], 128, uv.dtype)],
+                    axis=0)
+            return self._forward_sparse_yuv(
+                self.variables, self._put_batch(y), self._put_batch(uv))
+        images_norm = batch
         n = images_norm.shape[0]
         m = self._pad_to_shards(n)
         if m != n:
@@ -396,12 +545,14 @@ class FOTSInference:
             rois_arr = np.asarray(all_rois, np.float32)
             for width, idxs in sorted(buckets.items()):
                 sel = self._put_rois(rois_arr[np.asarray(idxs)])
-                ids_dev, _ = self._recognize(self.variables, focr, sel, width)
+                ids_dev, conf_dev = self._recognize(
+                    self.variables, focr, sel, width)
                 try:
                     ids_dev.copy_to_host_async()
+                    conf_dev.copy_to_host_async()
                 except AttributeError:
                     pass
-                jobs.append((idxs, ids_dev))
+                jobs.append((idxs, ids_dev, conf_dev))
         return all_keys, jobs
 
     def _recognize_finish(self, n, per_image_boxes, all_keys, jobs, scales,
@@ -416,12 +567,15 @@ class FOTSInference:
         emissions (verified on an overfit checkpoint: 'ALVIN' -> 'ALV')."""
         texts = [""] * len(all_keys)
         ids_out: List[Optional[np.ndarray]] = [None] * len(all_keys)
-        for idxs, ids_dev in jobs:
+        confs = np.zeros((len(all_keys),), np.float32)
+        for idxs, ids_dev, conf_dev in jobs:
             ids = np.asarray(ids_dev)[: len(idxs)]
+            conf = np.asarray(conf_dev)[: len(idxs)]
             dec = self.codec.decode_batch(ids)
             for k, ridx in enumerate(idxs):
                 texts[ridx] = dec[k]
                 ids_out[ridx] = ids[k]
+                confs[ridx] = conf[k]
 
         results = [[] for _ in range(n)]
         for ridx, (i, j) in enumerate(all_keys):
@@ -430,7 +584,7 @@ class FOTSInference:
                 continue
             b = per_image_boxes[i][j].copy()
             b[:8] /= scales[i]  # back to original image coords
-            entry = {"box": b, "text": t}
+            entry = {"box": b, "text": t, "conf": float(confs[ridx])}
             if split_words and ids_out[ridx] is not None:
                 from fots.wordsplit import split_detection
 
@@ -483,9 +637,9 @@ class FOTSInference:
         while inflight:
             ctx, n, scales, cands_dev, focr = inflight.popleft()
             cands = np.asarray(cands_dev)
-            boxes = get_boxes_from_candidates_batch(
+            boxes = self._cap_boxes(get_boxes_from_candidates_batch(
                 cands[:n], hs, ws, self.segm_thresh, self.iou_th1,
-                self.iou_th2)
+                self.iou_th2))
             keys, jobs = self._recognize_dispatch(boxes, focr)
             pull()  # next forward overlaps this batch's materialization
             res = self._recognize_finish(n, boxes, keys, jobs, scales,
@@ -500,12 +654,12 @@ class FOTSInference:
         {'box': [8 coords + score], 'text': str} (plus per-word sub-boxes
         under 'words' when split_words is set)."""
         boxes, focr, im_resized = self.detect(image_bgr, scale_up=scale_up)
-        texts, ids = self.recognize_boxes(boxes, focr, return_ids=True)
+        texts, ids, confs = self.recognize_boxes(boxes, focr, return_ids=True)
         out = []
         for k, (b, t) in enumerate(zip(boxes, texts)):
             if len(t) == 0:
                 continue
-            entry = {"box": b, "text": t}
+            entry = {"box": b, "text": t, "conf": float(confs[k])}
             if split_words and ids[k] is not None:
                 from fots.wordsplit import split_detection
 

@@ -162,7 +162,7 @@ def extract_roi_candidates(rng, segm_pred, score_gt, geo_pred, angle_pred,
 
 
 def make_train_step(model: FOTSDetector, multi_scale: bool = True,
-                    ohem: bool = False, masked_norm: bool = False):
+                    ohem: bool = False, masked_norm: bool = True):
     """Returns step(state, sharded, rep, input_hw, strip_width) jitted per
     (input shape, strip bucket).
 
@@ -298,7 +298,12 @@ class Trainer:
         mesh=None,
         use_predicted_rois: bool = True,
         ohem: bool = False,
-        masked_norm: bool = False,
+        # default ON since round 3: bucket-width-invariant recognition
+        # statistics let serving use the fine bucket grid (up to 8x less
+        # recognition compute on short words); legacy checkpoints trained
+        # pre-flip pass masked_norm=False (auto-detected from the
+        # train_config.json sidecar by fots.cli.detect.load_engine)
+        masked_norm: bool = True,
     ):
         self.codec = codec or LabelCodec()
         self.model = model or FOTSDetector(nclass=self.codec.num_classes)

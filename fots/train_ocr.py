@@ -45,8 +45,8 @@ def _make_step(apply_logp):
             loss = ctc_loss(logp, labels, label_lengths)
             return loss, (new_stats, logp)
 
-        grads, (new_stats, _) = jax.grad(loss_fn, has_aux=True)(state.params)
-        loss, _aux = loss_fn(state.params)
+        (loss, (new_stats, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats,
                                           rng=new_rng)
         return new_state, loss
@@ -94,8 +94,8 @@ class CRNNE2ETrainer:
                 logp = jax.nn.log_softmax(out, axis=-1)
                 return ctc_loss(logp, labels, lengths, roi_mask=mask), updates
 
-            grads, updates = jax.grad(loss_fn, has_aux=True)(state.params)
-            loss, _ = loss_fn(state.params)
+            (loss, updates), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(
                 grads=grads, batch_stats=updates["batch_stats"], rng=new_rng), loss
 
@@ -170,13 +170,19 @@ class FOTSRecognizerTrainer:
         )
         return float(loss)
 
-    def predict_texts(self, images) -> list:
+    def predict_texts(self, images, beam: int = 0) -> list:
         feats = self.model.apply(
             {"params": self.state.params, "batch_stats": self.state.batch_stats},
             jnp.asarray(images), method=FOTSDetector.forward_features)
         logp = self.model.apply(
             {"params": self.state.params, "batch_stats": self.state.batch_stats},
             feats, train=False, method=FOTSDetector.recognize)
+        if beam > 0:
+            from fots.ops.ctc_decode import beam_decode_text
+
+            lp = np.asarray(logp)
+            return [beam_decode_text(lp[i], self.codec, beam_width=beam)
+                    for i in range(lp.shape[0])]
         ids = np.asarray(jnp.argmax(logp, axis=-1))
         return self.codec.decode_batch(ids)
 
@@ -272,9 +278,15 @@ class CRNNTrainer:
         )
         return float(loss)
 
-    def predict_texts(self, images) -> list:
+    def predict_texts(self, images, beam: int = 0) -> list:
         out = self.model.apply(
             {"params": self.state.params, "batch_stats": self.state.batch_stats},
             jnp.asarray(images), train=False)
+        if beam > 0:
+            from fots.ops.ctc_decode import beam_decode_text
+
+            lp = np.asarray(jax.nn.log_softmax(out, axis=-1))
+            return [beam_decode_text(lp[i], self.codec, beam_width=beam)
+                    for i in range(lp.shape[0])]
         ids = np.asarray(jnp.argmax(out, axis=-1))
         return self.codec.decode_batch(ids)

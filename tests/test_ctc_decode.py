@@ -46,6 +46,27 @@ def test_beam_handles_repeats():
     assert beam_decode_text(lp, codec) == "a"
 
 
+def test_sparse_topk_beam_matches_dense():
+    """prefix_beam_search_topk (the serving path's device-pruned variant)
+    must equal the dense search when k covers the whole vocabulary."""
+    from fots.ops.ctc_decode import prefix_beam_search_topk
+
+    rng = np.random.default_rng(1)
+    lp = np.log(rng.dirichlet(np.ones(12), size=15))
+    dense = prefix_beam_search(lp, beam_width=5, top_k_per_frame=12)
+    k = 12
+    top_ids = np.argsort(-lp, axis=1)[:, :k]
+    top_lp = np.take_along_axis(lp, top_ids, axis=1)
+    sparse = prefix_beam_search_topk(top_ids, top_lp, lp[:, 0], beam_width=5)
+    assert dense[0][0] == sparse[0][0]
+    np.testing.assert_allclose(dense[0][1], sparse[0][1], rtol=1e-9)
+    # pruned k: still returns a sane, sorted hypothesis list
+    sparse8 = prefix_beam_search_topk(top_ids[:, :8], top_lp[:, :8],
+                                      lp[:, 0], beam_width=5)
+    scores = [s for _, s in sparse8]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_beam_scores_sorted_and_finite():
     rng = np.random.default_rng(0)
     lp = np.log(rng.dirichlet(np.ones(10), size=20))

@@ -143,6 +143,95 @@ def test_masked_norm_engine_fine_buckets():
     assert len(texts) == 2
 
 
+def test_results_carry_confidence(engine, rng):
+    """Every emitted result has the reference's per-box mean CTC confidence
+    (eval.py:645-652): mean over character frames of exp(max logp), in
+    (0, 1]."""
+    im = (rng.uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+    results, _ = engine(im)
+    for r in results:
+        assert 0.0 < r["conf"] <= 1.0
+    # batched serving path carries it too
+    batched = engine.batch_call([im], serve_hw=(96, 128))
+    for r in batched[0]:
+        assert 0.0 < r["conf"] <= 1.0
+
+    # manual check against the decode on a synthetic box: conf must equal
+    # mean(exp(max logp)) over non-blank frames of the returned ids
+    boxes = np.array([[10, 10, 10, 30, 90, 30, 90, 10, 1.0]], np.float32)
+    focr = engine.detect_maps(np.zeros((1, 96, 128, 3), np.float32))[3]
+    texts, ids, confs = engine.recognize_boxes(boxes, focr, return_ids=True)
+    assert confs.shape == (1,)
+    assert 0.0 <= confs[0] <= 1.0
+    if (ids[0] > 0).any():
+        assert confs[0] > 0.0
+
+
+def test_yuv420_transport_close_to_u8(rng):
+    """yuv420 serving (half the link bytes) must produce candidate packs
+    close to the exact u8 path: same chip program downstream, pixels differ
+    only by the chroma subsample the source JPEGs already had."""
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    exact = FOTSInference(model, variables)
+    yuv = FOTSInference(model, variables, transport="yuv420")
+    # smooth-chroma images (like decoded photos — the 4:2:0 sources this
+    # transport targets): chroma subsampling is near-lossless there.  A
+    # random-noise image is the adversarial worst case (every 2x2 cell a
+    # different hue) and is NOT what the transport claims to preserve.
+    import cv2
+
+    imgs = []
+    for _ in range(2):
+        base = rng.integers(0, 255, (50, 60, 3)).astype(np.uint8)
+        imgs.append(cv2.GaussianBlur(base, (15, 15), 6))
+    b_u8, s1 = exact._letterbox(imgs, (64, 64))
+    (y, uv), s2 = yuv._letterbox(imgs, (64, 64))
+    assert s1 == s2
+    assert y.shape == (2, 64, 64) and uv.shape == (2, 32, 32, 2)
+    # the YUV roundtrip reconstructs pixels to within a couple of LSB
+    import jax.numpy as jnp
+
+    yf = y.astype(np.float32)
+    uvf = uv.astype(np.float32) - 128.0
+    uvf = np.repeat(np.repeat(uvf, 2, axis=1), 2, axis=2)
+    bb = yf + uvf[..., 0] / 0.492
+    rr = yf + uvf[..., 1] / 0.877
+    gg = (yf - 0.299 * rr - 0.114 * bb) / 0.587
+    recon = np.clip(np.stack([bb, gg, rr], -1), 0, 255)
+    diff = np.abs(recon - b_u8.astype(np.float32))
+    assert np.median(diff) <= 2.0, float(np.median(diff))
+    # end-to-end: both transports run the same downstream program
+    res_u8 = exact.batch_call(imgs, serve_hw=(64, 64))
+    res_yuv = yuv.batch_call(imgs, serve_hw=(64, 64))
+    assert len(res_u8) == len(res_yuv) == 2
+
+
+def test_max_boxes_cap():
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    eng = FOTSInference(model, variables, max_boxes=2)
+    boxes = np.zeros((5, 9), np.float32)
+    boxes[:, 8] = [0.1, 0.9, 0.5, 0.7, 0.3]
+    capped = eng._cap_boxes([boxes])[0]
+    assert capped.shape[0] == 2
+    # keeps the two highest scores, in original order
+    np.testing.assert_allclose(capped[:, 8], [0.9, 0.7])
+
+
+def test_beam_engine_decodes(rng):
+    """FOTSInference(beam=N) decodes through the device-pruned top-k host
+    beam search; output types/shapes match the greedy path."""
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    eng = FOTSInference(model, variables, beam=4)
+    boxes = np.array([[10, 10, 10, 30, 90, 30, 90, 10, 1.0]], np.float32)
+    focr = eng.detect_maps(np.zeros((1, 96, 128, 3), np.float32))[3]
+    texts, ids, confs = eng.recognize_boxes(boxes, focr, return_ids=True)
+    assert len(texts) == 1 and isinstance(texts[0], str)
+    assert confs.shape == (1,)
+
+
 def test_put_rois_pads_to_pow2_grid(engine):
     """Roi counts are a compiled-program shape: live counts must collapse
     onto a small grid (next pow2, min 8) or every distinct count compiles

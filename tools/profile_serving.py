@@ -1,0 +1,190 @@
+"""Stage-by-stage wall profile of the REAL-image serving path.
+
+Reproduces bench.py's real-image config (random weights, score bias
+bisected to a realistic candidate density) and times each host/device
+stage of one FOTSInference pass over the 11 ICDAR2015 example images:
+
+  letterbox | detect dispatch+sync | candidate d2h | host NMS |
+  recognize dispatch (per bucket) | recognize sync+decode
+
+plus the pipelined stream() wall time for the same batches, so the
+overlap win (or loss) is visible.  Prints one JSON dict.
+
+Usage:  python tools/profile_serving.py [--batches N]
+"""
+
+import glob
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+H, W = 704, 1280
+BATCH = 16
+MAX_CANDIDATES = 2048
+EXAMPLE_DIR = "/root/reference/data/example_image"
+
+
+def t():
+    return time.perf_counter()
+
+
+def main():
+    import os
+
+    try:
+        os.nice(-10)
+    except OSError:
+        pass
+    import fots.cli  # noqa: F401  (compile cache)
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from fots.codec import LabelCodec
+    from fots.models import FOTSDetector
+    from fots.models.detector import init_detector
+    from fots.ops.nms import get_boxes_from_candidates_batch
+    from fots.pipeline import FOTSInference
+
+    n_batches = 3
+    if "--batches" in sys.argv:
+        n_batches = int(sys.argv[sys.argv.index("--batches") + 1])
+
+    codec = LabelCodec()
+    model = FOTSDetector(nclass=codec.num_classes)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    engine = FOTSInference(model, variables, codec=codec,
+                           mixed_precision=True,
+                           max_candidates=MAX_CANDIDATES)
+
+    paths = sorted(glob.glob(EXAMPLE_DIR + "/*.jpg"))
+    imgs = [cv2.imread(p) for p in paths]
+    imgs = [im for im in imgs if im is not None]
+
+    # --- bias bisect to a realistic candidate density (as bench.py) ---
+    target = (100, 800)
+    bias, lo_b, hi_b = -2.0, -8.0, 2.0
+    probe = [imgs[j % len(imgs)] for j in range(BATCH)]
+    dens = None
+    for _ in range(8):
+        eb = engine.variables["params"]["act"]["bias"]
+        engine.variables["params"]["act"]["bias"] = jnp.full_like(eb, bias)
+        batch, _ = engine._letterbox(probe, (H, W))
+        cands, _f = engine._dispatch_detect(batch)
+        c = np.asarray(cands)
+        dens = float((c[:, 0, :] > 0).sum(axis=1).mean())
+        if dens < target[0]:
+            lo_b = bias
+        elif dens > target[1]:
+            hi_b = bias
+        else:
+            break
+        bias = (lo_b + hi_b) / 2
+
+    out = {"candidate_pixels_per_image": round(dens, 1),
+           "score_bias": round(bias, 3)}
+
+    def batches(n):
+        k = 0
+        for _ in range(n):
+            chunk = [imgs[(k + j) % len(imgs)] for j in range(BATCH)]
+            k = (k + BATCH) % len(imgs)
+            yield chunk
+
+    # warm every program the measured batches will hit
+    for _ in engine.stream(batches(max(2, n_batches)), serve_hw=(H, W)):
+        pass
+
+    # --- serialized stage timings (averaged over n_batches) ---
+    stages = {k: 0.0 for k in
+              ("letterbox_ms", "detect_wall_ms", "cands_d2h_ms",
+               "host_nms_ms", "rec_dispatch_ms", "rec_finish_ms")}
+    hs, ws = H // 4, W // 4
+    total_boxes = 0
+    bucket_hits = {}
+    for chunk in batches(n_batches):
+        t0 = t()
+        batch, scales = engine._letterbox(chunk, (H, W))
+        t1 = t()
+        cands_dev, focr = engine._dispatch_detect(batch)
+        # sync: wait for the device result (includes upload + forward)
+        cands_dev.block_until_ready()
+        _ = float(jax.device_get(jnp.sum(cands_dev[:, 0, :1])))
+        t2 = t()
+        cands = np.asarray(cands_dev)
+        t3 = t()
+        boxes = get_boxes_from_candidates_batch(
+            cands[:BATCH], hs, ws, engine.segm_thresh, engine.iou_th1,
+            engine.iou_th2)
+        t4 = t()
+        keys, jobs = engine._recognize_dispatch(boxes, focr)
+        t5 = t()
+        res = engine._recognize_finish(len(chunk), boxes, keys, jobs,
+                                       scales, False)
+        t6 = t()
+        stages["letterbox_ms"] += (t1 - t0) * 1e3
+        stages["detect_wall_ms"] += (t2 - t1) * 1e3
+        stages["cands_d2h_ms"] += (t3 - t2) * 1e3
+        stages["host_nms_ms"] += (t4 - t3) * 1e3
+        stages["rec_dispatch_ms"] += (t5 - t4) * 1e3
+        stages["rec_finish_ms"] += (t6 - t5) * 1e3
+        total_boxes += sum(len(b) for b in boxes)
+        for _idxs, ids_dev, _c in jobs:
+            bucket_hits[tuple(ids_dev.shape)] = \
+                bucket_hits.get(tuple(ids_dev.shape), 0) + 1
+    for k in stages:
+        stages[k] = round(stages[k] / n_batches, 2)
+    out["serialized_stages_ms_per_batch16"] = stages
+    out["serialized_total_ms"] = round(sum(stages.values()), 1)
+    out["boxes_per_image"] = round(total_boxes / (n_batches * BATCH), 1)
+    out["recognize_program_shapes"] = {str(k): v for k, v in bucket_hits.items()}
+
+    # --- NMS sub-profile: decode vs native merge ---
+    from fots.geometry import decode_candidates_np
+    chunk = next(batches(1))
+    batch, scales = engine._letterbox(chunk, (H, W))
+    cands_dev, focr = engine._dispatch_detect(batch)
+    cands = np.asarray(cands_dev)
+    t0 = t()
+    for _ in range(3):
+        get_boxes_from_candidates_batch(cands[:BATCH], hs, ws, 0.5)
+    nms_all = (t() - t0) / 3
+    # decode-only portion
+    c0 = cands[:BATCH]
+    scores = c0[:, 0, :]
+    valid = scores > 0.5
+    t0 = t()
+    for _ in range(3):
+        rows = np.transpose(c0, (0, 2, 1)).reshape(-1, 8)
+        decode_candidates_np(rows[:, 1:5], rows[:, 5], rows[:, 6],
+                             rows[:, 7].astype(np.int64) % ws,
+                             rows[:, 7].astype(np.int64) // ws)
+    dec_only = (t() - t0) / 3
+    out["nms_profile"] = {
+        "total_ms": round(nms_all * 1e3, 2),
+        "decode_est_ms": round(dec_only * 1e3, 2),
+        "native_merge_est_ms": round((nms_all - dec_only) * 1e3, 2),
+        "candidates_in": int(valid.sum()),
+    }
+
+    # --- pipelined stream wall for the same batches ---
+    for rep in range(3):
+        t0 = t()
+        n_res = 0
+        for res in engine.stream(batches(n_batches), serve_hw=(H, W)):
+            n_res += len(res)
+        wall = t() - t0
+        key = "stream_wall_ms_per_batch16"
+        out.setdefault(key, []).append(round(wall / n_batches * 1e3, 1))
+    out["stream_images_per_sec_best"] = round(
+        n_batches * BATCH / (min(out[key]) * n_batches / 1e3), 1)
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
