@@ -80,7 +80,10 @@ def paste_rotated(rng, scene, bgr, alpha, angle_deg, cx, cy):
                         [w - pad, h - pad], [pad, h - pad]], np.float64)
     ones = np.hstack([corners, np.ones((4, 1))])
     quad = (M @ ones.T).T + np.array([x0, y0])
-    return quad
+    # done-format corner convention: p0->p1 must be the SHORT edge (the
+    # reference np.roll(pts,2)s ICDAR corners to get this, data_gen.py:135;
+    # generate_rbox filters quads where |p1-p0| > |p2-p1| as vertical text)
+    return np.roll(quad, 1, axis=0)
 
 
 def make_scene(seed, idx, size_hw=(640, 960)):

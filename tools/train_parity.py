@@ -32,7 +32,20 @@ import numpy as np
 # numeric comparability: run the fots side on XLA:CPU like the torch side
 # (TPU f32 convs default to bf16-ish matmul precision; this harness is
 # about optimization dynamics, not speed)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOT setdefault: the container pre-sets JAX_PLATFORMS=axon,cpu.  The env
+# var alone is also not enough — sitecustomize force-sets the jax_platforms
+# CONFIG before user code runs, so re-apply it at config level too (same
+# fix fots/cli/__init__.py applies for the CLIs).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def _force_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+_force_cpu()
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REF_TOOLS = "/root/reference/tools"
@@ -63,7 +76,12 @@ def build_fixed_batch(batch_size, input_size):
     return next(gen)
 
 
-def torch_side(batch, steps, lr):
+def torch_side(batch, steps, lr, perturb=0.0):
+    """perturb > 0: add N(0, perturb) noise to every parameter before
+    training — the chaos-floor CONTROL.  Training is a chaotic dynamical
+    system; the torch-vs-perturbed-torch divergence bounds from below what
+    ANY numerically-inequivalent-but-correct reimplementation can achieve,
+    so the fots-vs-torch delta should be judged against it, not against 0."""
     import torch
 
     if REF_TOOLS not in sys.path:
@@ -79,7 +97,16 @@ def torch_side(batch, steps, lr):
     net = ref_models.ModelResNetSep2(attention=True, multi_scale=True,
                                      nclass=87)
     net.eval()  # deterministic: dropout off; detection path has no BN
-    sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+    if perturb:
+        g = torch.Generator().manual_seed(123)
+        with torch.no_grad():
+            for p in net.parameters():
+                p.add_(torch.randn(p.shape, generator=g) * perturb)
+    # .copy() is load-bearing: on CPU .cpu() is identity and .numpy() is a
+    # VIEW of the parameter storage, which opt.step() mutates in place —
+    # without the copy the fots side would import the post-training weights
+    sd = {k: v.detach().cpu().numpy().copy()
+          for k, v in net.state_dict().items()}
     opt = torch.optim.Adam(net.parameters(), lr=lr, betas=(0.5, 0.999))
 
     im = torch.from_numpy(
@@ -169,32 +196,46 @@ def main():
     sd, torch_curve = torch_side(batch, args.steps, args.lr)
     print(f"torch done: step0 {torch_curve[0]['total']:.4f} -> "
           f"step{args.steps - 1} {torch_curve[-1]['total']:.4f}", flush=True)
+    _, control_curve = torch_side(batch, args.steps, args.lr, perturb=1e-6)
+    print(f"ctrl  done: step0 {control_curve[0]['total']:.4f} -> "
+          f"step{args.steps - 1} {control_curve[-1]['total']:.4f}", flush=True)
     fots_curve = fots_side(batch, sd, args.steps, args.lr)
     print(f"fots  done: step0 {fots_curve[0]['total']:.4f} -> "
           f"step{args.steps - 1} {fots_curve[-1]['total']:.4f}", flush=True)
 
-    # summary deltas at checkpoints along the curve
+    # summary deltas at checkpoints along the curve; the control column is
+    # torch-vs-torch with a 1e-6 init perturbation (the chaos floor)
     idxs = sorted({0, 1, 4, 9, 24, 49, 99, args.steps - 1} &
                   set(range(args.steps)))
     deltas = {str(i): round(abs(torch_curve[i]["total"]
                                 - fots_curve[i]["total"]), 6) for i in idxs}
+    control = {str(i): round(abs(torch_curve[i]["total"]
+                                 - control_curve[i]["total"]), 6) for i in idxs}
     out = {
         "config": {"steps": args.steps, "batch": args.batch, "lr": args.lr,
                    "optimizer": "adam(b1=0.5,b2=0.999)",
                    "objective": "detection (dice+angle+iou, multi-scale)",
                    "note": "identical imported init, identical fixed batch, "
-                           "dropout off both sides"},
+                           "dropout off both sides; control = torch vs "
+                           "torch with 1e-6 init noise (chaos floor)"},
         "torch": torch_curve,
         "fots": fots_curve,
+        "torch_perturbed_control": control_curve,
         "abs_total_delta_at_step": deltas,
+        "control_abs_delta_at_step": control,
         "final_rel_delta": abs(torch_curve[-1]["total"] - fots_curve[-1]["total"])
+        / max(abs(torch_curve[-1]["total"]), 1e-9),
+        "control_final_rel_delta": abs(
+            torch_curve[-1]["total"] - control_curve[-1]["total"])
         / max(abs(torch_curve[-1]["total"]), 1e-9),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"deltas": deltas,
-                      "final_rel_delta": out["final_rel_delta"]}, indent=1))
+    print(json.dumps({"deltas": deltas, "control": control,
+                      "final_rel_delta": out["final_rel_delta"],
+                      "control_final_rel_delta":
+                      out["control_final_rel_delta"]}, indent=1))
 
 
 if __name__ == "__main__":
