@@ -205,15 +205,26 @@ def _bench_staged_real(engine, imgs):
 
     hs, ws = H // 4, W // 4
     chunk = [imgs[j % len(imgs)] for j in range(BATCH)]
-    batch_u8, scales = engine._letterbox(chunk, (H, W))
-    dev_imgs = jax.device_put(batch_u8)
+    batch_staged, scales = engine._letterbox(chunk, (H, W))
+    from fots.pipeline import _RawBatch
+
+    if isinstance(batch_staged, _RawBatch):
+        # device letterbox: raw u8 batch staged; resize+pad runs inside the
+        # dispatched program (charged as device work); the per-iteration
+        # host prep charge below is the np.stack the engine really does
+        dev_imgs = jax.device_put(batch_staged.images)
+        prog = engine._raw_letterbox_program(
+            batch_staged.images.shape[1:3], (H, W))
+    else:
+        dev_imgs = jax.device_put(batch_staged)
+        prog = engine._forward_sparse
     dev_imgs.block_until_ready()
 
     def run(iters):
         inflight = deque()
 
         def dispatch():
-            c, f = engine._forward_sparse(engine.variables, dev_imgs)
+            c, f = prog(engine.variables, dev_imgs)
             try:
                 c.copy_to_host_async()
             except AttributeError:
@@ -358,7 +369,8 @@ def main():
         engine = FOTSInference(model, variables_f32, codec=codec,
                                mixed_precision=MIXED_PRECISION,
                                max_candidates=MAX_CANDIDATES,
-                               max_boxes=MAX_BOXES)
+                               max_boxes=MAX_BOXES,
+                               device_letterbox=True)
         bias, dens = _calibrate_bias(engine, imgs)
         extra["real_load"] = {"score_bias": round(bias, 3),
                               "candidate_pixels_per_image": round(dens)}
@@ -526,6 +538,34 @@ def main():
             extra["detector_mfu_pct"] = round(
                 100.0 * flops / dev_s / V5E_PEAK_BF16_FLOPS, 2)
             extra["detector_gflops_batch16"] = round(flops / 1e9, 1)
+            # honest MFU: the S2D stem EXECUTES redundant FLOPs to save HBM
+            # bandwidth (fots/ops/s2d.py), which the count above credits as
+            # useful work.  Count the canonical (non-S2D) formulation via a
+            # CPU-backend lowering (never executed) and report that too.
+            try:
+                model_c = FOTSDetector(nclass=codec.num_classes,
+                                       stem_s2d=False)
+
+                def _canon(variables, images):
+                    out = model_c.apply(variables, images.astype(jnp.bfloat16),
+                                        train=False)
+                    return out["segm"][0], out["focr"]
+
+                ccost = jax.jit(
+                    _canon, device=jax.devices("cpu")[0]).lower(
+                    jax.tree.map(
+                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                        variables),
+                    jax.ShapeDtypeStruct(images.shape, images.dtype)
+                ).compile().cost_analysis()
+                if isinstance(ccost, (list, tuple)):
+                    ccost = ccost[0]
+                cflops = float(ccost.get("flops", 0.0))
+                extra["detector_model_gflops_batch16"] = round(cflops / 1e9, 1)
+                extra["detector_honest_mfu_pct"] = round(
+                    100.0 * cflops / dev_s / V5E_PEAK_BF16_FLOPS, 2)
+            except Exception as e:
+                extra["honest_mfu_error"] = repr(e)
     except Exception as e:
         extra["mfu_error"] = repr(e)
 

@@ -109,6 +109,7 @@ class Stem(nn.Module):
         from fots.ops.s2d import (
             crelu_instance_norm_s2d,
             s2d_conv,
+            s2d_conv_split,
             space_to_depth,
         )
 
@@ -130,8 +131,12 @@ class Stem(nn.Module):
         # conv0b (3x3 s2, full -> 1/2) producing 1/2-res repr on 1/4 cells
         x = s2d_conv(x, k0b, 2, 2, 2, (h4, w4), crelu_half_in=True)  # 128ch
         x = crelu_instance_norm_s2d(x, s0b, b0b, 2)        # 256ch
-        # conv1a (3x3 s1 at 1/2) stays on 1/4-res cells
-        x = nn.relu(s2d_conv(x, k1a, 2, 2, 1, (h4, w4), crelu_half_in=True))
+        # conv1a (3x3 s1 at 1/2) stays on 1/4-res cells; split per output
+        # sub-position: the dense derived kernel is 75% structural zeros
+        # and MXU-bound (7.6 ms of the 23.4 ms stem at 16x704x1280), the
+        # split form does 2.25x less MXU work
+        x = nn.relu(s2d_conv_split(x, k1a, 2, 2, 1, (h4, w4),
+                                   crelu_half_in=True))
         # conv1b (3x3 s2, 1/2 -> 1/4) collapses to the plain 1/4 tensor
         x = s2d_conv(x, k1b, 2, 1, 2, (h4, w4))            # 64ch plain
         return nn.relu(x)

@@ -144,6 +144,80 @@ def s2d_conv(x, w, f_in: int, f_out: int, stride: int, out_cells,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+@functools.lru_cache(maxsize=None)
+def _s2d_tap_plan_1t(kernel: int, stride: int, f_in: int, t: int):
+    """1-D tap table for a SINGLE output sub-position ``t``.
+
+    Returns (k2, pad_lo_cell, k_tab [k2, f_in]) where k_tab[a, u] is the
+    canonical kernel tap feeding cell offset ``a`` sub-position ``u``
+    (-1 = structurally zero).
+    """
+    pad = _same_pad_lo(kernel, stride)
+    raw = []
+    amin, amax = 10**9, -(10**9)
+    for k in range(kernel):
+        p = stride * t + k - pad
+        a, u = p // f_in, p % f_in
+        amin, amax = min(amin, a), max(amax, a)
+        raw.append((k, a, u))
+    k2 = amax - amin + 1
+    k_tab = np.full((k2, f_in), -1, np.int32)
+    for k, a, u in raw:
+        k_tab[a - amin, u] = k
+    return k2, -amin, k_tab
+
+
+def s2d_conv_split(x, w, f_in: int, f_out: int, stride: int, out_cells,
+                   crelu_half_in: bool = False):
+    """:func:`s2d_conv`, computed as ``f_out^2`` narrow convs — one per
+    output sub-position, each with its minimal tap window.
+
+    The single dense derived kernel pays for the UNION of all output
+    sub-positions' tap windows: for K=3/s=1/f=2 that is a [3,3] cell
+    kernel with 75% structural zeros (4x the canonical MXU work), which
+    made conv1a the most expensive op in the stem (7.6 of 23.4 ms at
+    16x704x1280 bf16 on v5e).  Per sub-position the window is only [2,2]
+    (25% zeros), so the split form does 2.25x less MXU work at the price
+    of reading the input ``f_out^2`` times — a win exactly when the dense
+    form is MXU-bound.  Outputs concatenate to the standard sub-major
+    layout, so consumers cannot tell which form produced the tensor.
+    """
+    kernel, _, cin, cout = w.shape
+    assert (stride * f_out) % f_in == 0, "cell grids must align"
+    s_cell = (stride * f_out) // f_in
+    perm = None
+    if crelu_half_in:
+        fi2 = f_in * f_in
+        corig = cin // 2
+        perm = np.empty(fi2 * cin, np.int32)
+        p = np.arange(fi2 * corig)
+        perm[: fi2 * corig] = (p // corig) * cin + (p % corig)
+        perm[fi2 * corig:] = (p // corig) * cin + corig + (p % corig)
+    cells_in = x.shape[1:3]
+    outs = []
+    for ty in range(f_out):
+        k2y, pady, taby = _s2d_tap_plan_1t(kernel, stride, f_in, ty)
+        for tx in range(f_out):
+            k2x, padx, tabx = _s2d_tap_plan_1t(kernel, stride, f_in, tx)
+            ky = taby[:, None, :, None]            # [k2y,1,uy,1]
+            kx = tabx[None, :, None, :]            # [1,k2x,1,ux]
+            ky, kx = np.broadcast_arrays(ky, kx)   # [k2y,k2x,uy,ux]
+            valid = (ky >= 0) & (kx >= 0)
+            big = w[np.where(valid, ky, 0), np.where(valid, kx, 0)]
+            big = jnp.where(jnp.asarray(valid)[..., None, None], big, 0)
+            wk = big.reshape(k2y, k2x, f_in * f_in * cin, cout).astype(x.dtype)
+            if perm is not None:
+                wk = wk[:, :, perm, :]
+            pads = []
+            for i, (k2, pl) in enumerate(((k2y, pady), (k2x, padx))):
+                hi = (out_cells[i] - 1) * s_cell + k2 - cells_in[i] - pl
+                pads.append((pl, hi))
+            outs.append(jax.lax.conv_general_dilated(
+                x, wk, (s_cell, s_cell), pads,
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def crelu_instance_norm_s2d(x, scale, bias, f: int, eps: float = 1e-5,
                             negative_slope: float = 0.01):
     """Fused CReLU + InstanceNorm + leaky-relu on an S2D tensor.

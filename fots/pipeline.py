@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,44 @@ TARGET_H = 11  # recognition strip height at 1/4 scale (ocr_utils.py:147)
 # parameter subtrees kept in f32 under mixed precision: geometry/score
 # heads need sub-pixel precision and the vocab logits a stable softmax
 _KEEP_F32 = ("act", "rbox", "angle", "conv_attention")
+
+
+class _RawBatch(NamedTuple):
+    """Marker for a device-letterbox batch: raw same-shape u8 images; the
+    resize+pad to ``serve_hw`` happens inside the detection program."""
+
+    images: np.ndarray
+    serve_hw: Tuple[int, int]
+
+
+def device_letterbox_batch(raw, serve_hw):
+    """Letterbox a raw u8 batch [B,h,w,3] to normalized f32 [B,H,W,3] on
+    device: x/128-1, half-pixel bilinear resize (the cv2 INTER_LINEAR
+    convention; two 2-tap row gathers — NOT a dense matmul, whose
+    contraction over 700+ source rows would cost teraflops), pad with the
+    background value -1.  Jit-traceable, static shapes."""
+    h0, w0 = raw.shape[1:3]
+    H, W = serve_hw
+    s = min(H / h0, W / w0)
+    nh, nw = int(h0 * s), int(w0 * s)
+
+    def taps(src, dst):
+        pos = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+        lo = np.clip(np.floor(pos), 0, src - 1).astype(np.int32)
+        hi = np.minimum(lo + 1, src - 1).astype(np.int32)
+        fr = np.clip(pos - lo, 0.0, 1.0).astype(np.float32)
+        return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(fr)
+
+    ylo, yhi, yfr = taps(h0, nh)
+    xlo, xhi, xfr = taps(w0, nw)
+    x = raw.astype(jnp.float32)
+    x = (x[:, ylo] * (1.0 - yfr)[None, :, None, None]
+         + x[:, yhi] * yfr[None, :, None, None])
+    x = (x[:, :, xlo] * (1.0 - xfr)[None, None, :, None]
+         + x[:, :, xhi] * xfr[None, None, :, None])
+    x = x / 128.0 - 1.0
+    return jnp.pad(x, ((0, 0), (0, H - nh), (0, W - nw), (0, 0)),
+                   constant_values=-1.0)
 
 
 def cast_params_bf16(variables: Dict, keep_f32=_KEEP_F32) -> Dict:
@@ -113,8 +151,19 @@ class FOTSInference:
                  mixed_precision: bool = False, max_candidates: int = 8192,
                  mesh=None, expand_w_frac: float = 0.0,
                  masked_norm: bool = False, beam: int = 0,
-                 transport: str = "u8", max_boxes: Optional[int] = None):
+                 transport: str = "u8", max_boxes: Optional[int] = None,
+                 device_letterbox: bool = False):
         self.model = model
+        # device_letterbox: resize + pad INSIDE the detection program
+        # (gather-based half-pixel bilinear, cv2 INTER_LINEAR convention)
+        # instead of cv2 on the host.  On a 1-core host the cv2 letterbox
+        # of a 16-image batch costs ~55 ms — the single largest host stage
+        # of the serving loop — while the device resize adds ~1 ms of HBM
+        # traffic.  Requires every image in a batch to share one source
+        # shape (one compiled program per (src_hw, serve_hw)); mixed-shape
+        # batches fall back to the host path.  u8 transport only.
+        self.device_letterbox = device_letterbox and transport == "u8"
+        self._lb_cache = {}
         # transport: how batched serving ships pixels over the host link.
         #   "u8"     — letterboxed uint8 BGR, normalized on device (exact);
         #   "yuv420" — Y full-res + chroma at 1/2 res (1.5 B/px vs 3),
@@ -210,6 +259,8 @@ class FOTSInference:
             top-k above-threshold pixels (fots/ops/nms.py:extract_candidates)
             instead of full head maps — the host link is the e2e bottleneck."""
             return _detect_body(variables, _norm(images))
+
+        self._detect_body = _detect_body
 
         @jax.jit
         def _forward_sparse_yuv(variables, y, uv):
@@ -358,9 +409,13 @@ class FOTSInference:
         """Sparse detection path: device top-k candidate extraction, then
         per-image host NMS.  ``batch``: [B,H,W,3] images (u8/f32) or the
         (Y, UV) pair from a yuv420 letterbox.  Returns (boxes, focr)."""
-        lead = batch[0] if isinstance(batch, tuple) else batch
-        n = lead.shape[0]
-        hs, ws = lead.shape[1] // 4, lead.shape[2] // 4
+        if isinstance(batch, _RawBatch):
+            n = batch.images.shape[0]
+            hs, ws = batch.serve_hw[0] // 4, batch.serve_hw[1] // 4
+        else:
+            lead = batch[0] if isinstance(batch, tuple) else batch
+            n = lead.shape[0]
+            hs, ws = lead.shape[1] // 4, lead.shape[2] // 4
         cands_dev, focr = self._dispatch_detect(batch)
         cands = np.asarray(cands_dev)  # [B, 8, k] — the only map-side transfer
         boxes = get_boxes_from_candidates_batch(
@@ -449,17 +504,46 @@ class FOTSInference:
 
     # -------- batched serving --------
 
+    def _raw_letterbox_program(self, src_hw, serve_hw):
+        """Compiled detect program that letterboxes ON DEVICE: u8 source
+        batch -> normalize -> half-pixel bilinear resize (two 2-tap row
+        gathers, the cv2 INTER_LINEAR convention) -> pad with the
+        background value (-1 == u8 zero normalized) -> detector + candidate
+        extraction.  One program per (source shape, serve shape)."""
+        key = (tuple(src_hw), tuple(serve_hw))
+        if key not in self._lb_cache:
+            import jax
+
+            detect_body = self._detect_body
+            ct = jnp.bfloat16 if self.mixed_precision else jnp.float32
+            hw = tuple(serve_hw)
+
+            @jax.jit
+            def run(variables, raw):
+                x = device_letterbox_batch(raw, hw)
+                return detect_body(variables, x.astype(ct))
+
+            self._lb_cache[key] = run
+        return self._lb_cache[key]
+
     def _letterbox(self, images_bgr, serve_hw):
         """Letterbox to the fixed serving shape, staying uint8: the batch
         ships to the device raw (1 byte/px) and is normalized on device
         (see ``_norm``) — 4x less host-link traffic than f32.  With
         ``transport='yuv420'`` the batch is a (Y, UV_half) pair instead —
-        1.5 bytes/px, reconstructed to BGR on device."""
+        1.5 bytes/px, reconstructed to BGR on device.  With
+        ``device_letterbox`` (uniform source shapes) the host only stacks
+        the raw images; resize+pad run inside the detection program."""
         import cv2
 
         H, W = serve_hw
         n = len(images_bgr)
         scales = []
+        if (self.device_letterbox
+                and len({im.shape for im in images_bgr}) == 1):
+            h0, w0 = images_bgr[0].shape[:2]
+            s = min(H / h0, W / w0)
+            return _RawBatch(np.stack(images_bgr), (H, W)), [s] * n
         if self.transport == "yuv420":
             ybuf = np.zeros((n, H, W), np.uint8)
             uvbuf = np.full((n, H // 2, W // 2, 2), 128, np.uint8)
@@ -483,8 +567,19 @@ class FOTSInference:
 
     def _dispatch_detect(self, batch):
         """Dispatch the sparse detection program; returns device handles
-        (cands_dev, focr) without synchronizing.  ``batch`` is either a
-        [B,H,W,3] array (u8/f32 transport) or a (Y, UV) pair (yuv420)."""
+        (cands_dev, focr) without synchronizing.  ``batch`` is a [B,H,W,3]
+        array (u8/f32 transport), a (Y, UV) pair (yuv420), or a
+        :class:`_RawBatch` (device letterbox)."""
+        if isinstance(batch, _RawBatch):
+            raw, serve_hw = batch.images, batch.serve_hw
+            n = raw.shape[0]
+            m = self._pad_to_shards(n)
+            if m != n:
+                raw = np.concatenate(
+                    [raw, np.zeros((m - n,) + raw.shape[1:], raw.dtype)],
+                    axis=0)
+            prog = self._raw_letterbox_program(raw.shape[1:3], serve_hw)
+            return prog(self.variables, self._put_batch(raw))
         if isinstance(batch, tuple):
             y, uv = batch
             n = y.shape[0]

@@ -207,6 +207,52 @@ def test_yuv420_transport_close_to_u8(rng):
     assert len(res_u8) == len(res_yuv) == 2
 
 
+def test_device_letterbox_matches_cv2(rng):
+    """device_letterbox_batch == host cv2 letterbox + u8 normalize, to a
+    couple of u8 LSB (cv2 INTER_LINEAR uses fixed-point; device is f32)."""
+    import cv2
+
+    from fots.pipeline import device_letterbox_batch
+
+    raw = rng.integers(0, 255, (3, 50, 70, 3)).astype(np.uint8)
+    H, W = 64, 96
+    got = np.asarray(device_letterbox_batch(raw, (H, W)))
+    s = min(H / 50, W / 70)
+    nh, nw = int(50 * s), int(70 * s)
+    want = np.zeros((3, H, W, 3), np.uint8)
+    for i in range(3):
+        want[i, :nh, :nw] = cv2.resize(raw[i], (nw, nh))
+    wantf = want.astype(np.float32) / 128.0 - 1.0
+    # interior match within 2 u8 LSB (2/128); padding exactly -1
+    assert np.abs(got - wantf).max() <= 2.01 / 128.0, np.abs(got - wantf).max()
+    assert np.all(got[:, nh:, :] == -1.0) and np.all(got[:, :, nw:] == -1.0)
+
+
+def test_device_letterbox_engine_matches_host(rng):
+    """An engine with device_letterbox=True serves the same images through
+    the raw-batch program and produces the same result structure (and the
+    same scales) as the host-letterbox engine."""
+    from fots.pipeline import _RawBatch
+
+    model = FOTSDetector(nclass=87)
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    host = FOTSInference(model, variables)
+    dev = FOTSInference(model, variables, device_letterbox=True)
+    imgs = [rng.integers(0, 255, (50, 60, 3)).astype(np.uint8)
+            for _ in range(2)]
+    b_host, s_host = host._letterbox(imgs, (64, 64))
+    b_dev, s_dev = dev._letterbox(imgs, (64, 64))
+    assert isinstance(b_dev, _RawBatch) and not isinstance(b_host, _RawBatch)
+    np.testing.assert_allclose(s_host, s_dev)
+    res_host = host.batch_call(imgs, serve_hw=(64, 64))
+    res_dev = dev.batch_call(imgs, serve_hw=(64, 64))
+    assert len(res_host) == len(res_dev) == 2
+    # mixed source shapes fall back to the host path
+    mixed = imgs + [rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)]
+    b_mix, _ = dev._letterbox(mixed, (64, 64))
+    assert not isinstance(b_mix, _RawBatch)
+
+
 def test_max_boxes_cap():
     model = FOTSDetector(nclass=87)
     variables = init_detector(model, jax.random.PRNGKey(0))

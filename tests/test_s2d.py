@@ -46,6 +46,36 @@ def test_s2d_conv_matches_plain_conv(rng, stride, f_in, f_out):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.parametrize("stride,f_in,f_out", [(1, 2, 2), (2, 2, 2), (2, 2, 1)])
+def test_s2d_conv_split_matches_dense(rng, stride, f_in, f_out):
+    """Per-subposition split form == the dense derived kernel (the split
+    removes structural zeros; the summed taps are identical)."""
+    from fots.ops.s2d import s2d_conv_split
+
+    h, w, cin, cout, k = 16, 24, 4, 6, 3
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+    ho, wo = h // stride, w // stride
+    xc = space_to_depth(x, f_in)
+    out_cells = (ho // f_out, wo // f_out)
+    want = s2d_conv(xc, kern, f_in, f_out, stride, out_cells)
+    got = s2d_conv_split(xc, kern, f_in, f_out, stride, out_cells)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_s2d_conv_split_crelu_half_in(rng):
+    """Split form with the half-layout input permutation (the conv1a
+    configuration used by the stem)."""
+    from fots.ops.s2d import s2d_conv_split
+
+    cin = 8  # canonical input channels (2*Corig after CReLU)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 4 * cin)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, cin, 5)).astype(np.float32))
+    want = s2d_conv(x, kern, 2, 2, 1, (8, 12), crelu_half_in=True)
+    got = s2d_conv_split(x, kern, 2, 2, 1, (8, 12), crelu_half_in=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def _half_to_dense(y_half, f, c):
     """Map the half-layout S2D output back to the canonical 2C dense form."""
     b, hc, wc, _ = y_half.shape
