@@ -14,6 +14,7 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -61,6 +62,10 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, int]:
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
+        # land the global step in the TrainState itself so a resumed
+        # Trainer.train() continues the global step numbering
+        step=jnp.asarray(int(restored["step"]), dtype=jnp.int32)
+        if hasattr(state, "step") else state.step,
     )
     return new_state, int(restored["step"])
 

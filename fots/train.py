@@ -439,7 +439,12 @@ class Trainer:
 
         t0 = time.time()
         pending = _next_prepared()
-        step_idx = -1
+        # resume-aware global step accounting: state.step counts applied
+        # gradient updates (restored by restore_checkpoint), so a resumed
+        # run continues the global numbering — max_steps stays a GLOBAL
+        # step bound and checkpoint filenames never collide with the
+        # pre-resume ones (reference train.py saves global `step` too)
+        step_idx = int(np.asarray(jax.device_get(self.state.step))) - 1
         while pending is not None:
             step_idx += 1
             if step_idx >= max_steps:

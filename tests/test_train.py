@@ -64,6 +64,10 @@ def test_checkpoint_roundtrip(trainer_and_batch, tmp_path):
     a = jax.tree_util.tree_leaves(trainer.state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # the global step lands in the TrainState itself, so a resumed
+    # Trainer.train() continues global numbering (max_steps stays a
+    # global bound; checkpoint filenames never collide across resumes)
+    assert int(np.asarray(restored.step)) == 7
 
 
 def test_extract_roi_candidates_uniform_subset():

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--boxes", type=int, default=20, help="rois per image")
     ap.add_argument("--strip_w", type=int, default=128)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--stages", action="store_true",
+                    help="also time cumulative backbone prefixes "
+                         "(stem, +layer1..4, +FPN/heads); marginal cost of "
+                         "a stage = difference of successive rows")
     args = ap.parse_args()
     H, W = map(int, args.hw.split(","))
     B = args.batch
@@ -91,6 +95,25 @@ def main():
         return out["segm"][0], out["focr"]
 
     timeit("full detection forward", full_fwd, images)
+
+    if args.stages:
+        # cumulative backbone prefixes: each row re-runs all prior stages,
+        # so the MARGINAL cost of a stage is the difference of successive
+        # rows (the recompute cancels; XLA cross-stage fusion makes the
+        # residual error a few percent)
+        def upto(depth):
+            def fn(m, images):
+                x = m.stem(images)
+                for name in ("layer1", "layer2", "layer3", "layer4")[:depth]:
+                    for blk in getattr(m, name):
+                        x = blk(x, train=False)
+                return x
+            return fn
+
+        for d in range(1, 5):
+            timeit(f"stem + layer1..{d}",
+                   lambda images, d=d: model.apply(
+                       variables, images.astype(dt), method=upto(d)), images)
 
     def fwd_plus_cand(images):
         out = model.apply(variables, images.astype(dt), train=False)
