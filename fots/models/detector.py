@@ -91,6 +91,11 @@ class Stem(nn.Module):
     """
 
     s2d: bool = True
+    # conv1a form: per-subposition split convs (2.25x less MXU work than
+    # the dense derived kernel — the inference win) vs the single dense
+    # cell kernel.  Numerically identical (tests/test_s2d.py); the flag
+    # only selects the faster schedule for the workload.
+    split_conv1a: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -135,8 +140,12 @@ class Stem(nn.Module):
         # sub-position: the dense derived kernel is 75% structural zeros
         # and MXU-bound (7.6 ms of the 23.4 ms stem at 16x704x1280), the
         # split form does 2.25x less MXU work
-        x = nn.relu(s2d_conv_split(x, k1a, 2, 2, 1, (h4, w4),
-                                   crelu_half_in=True))
+        if self.split_conv1a:
+            x = nn.relu(s2d_conv_split(x, k1a, 2, 2, 1, (h4, w4),
+                                       crelu_half_in=True))
+        else:
+            x = nn.relu(s2d_conv(x, k1a, 2, 2, 1, (h4, w4),
+                                 crelu_half_in=True))
         # conv1b (3x3 s2, 1/2 -> 1/4) collapses to the plain 1/4 tensor
         x = s2d_conv(x, k1b, 2, 1, 2, (h4, w4))            # 64ch plain
         return nn.relu(x)
@@ -195,10 +204,12 @@ class FOTSDetector(nn.Module):
     attention: bool = True
     multi_scale: bool = True
     stem_s2d: bool = True
+    stem_split_conv1a: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.stem = Stem(s2d=self.stem_s2d, name="stem")
+        self.stem = Stem(s2d=self.stem_s2d,
+                         split_conv1a=self.stem_split_conv1a, name="stem")
         self.layer1 = [BasicBlockIn(64, 64, 1, name=f"layer1_{i}") for i in range(3)]
         self.layer2 = [
             BasicBlockIn(64 if i == 0 else 128, 128, 2 if i == 0 else 1, name=f"layer2_{i}")
