@@ -191,11 +191,15 @@ def _calibrate_bias(engine, imgs):
 def _bench_staged_real(engine, imgs):
     """Headline: the real-image pipeline with image bytes at device speed.
 
-    Per batch iteration, ALL of these run live: host letterbox of the 16
-    real images, detector forward + on-device candidate extraction (on the
-    device-staged batch), candidate d2h, host locality-aware NMS, bucketed
-    RoIRotate + recognition of the (capped) live boxes, CTC text decode.
-    Software-pipelined with 2 forwards in flight like FOTSInference.stream.
+    Per batch iteration, ALL of these run live: the engine's host prep of
+    the 16 real images (with device_letterbox that is the np.stack of the
+    raw batch — resize+pad run INSIDE the dispatched program and are
+    charged as device work; with a host-letterbox engine it is the full
+    cv2 letterbox), detector forward + on-device candidate extraction (on
+    the device-staged batch), candidate d2h, host locality-aware NMS,
+    bucketed RoIRotate + recognition of the (capped) live boxes, CTC text
+    decode.  Software-pipelined with 2 forwards in flight like
+    FOTSInference.stream.
     """
     from collections import deque
 
@@ -265,9 +269,15 @@ def _bench_staged_real(engine, imgs):
     }
 
 
-def _bench_tunnel(engine_u8, model, variables_f32, codec, imgs, bias):
+def _bench_tunnel(engine_dl, model, variables_f32, codec, imgs, bias):
     """Tunnel-streamed e2e (the honest number on THIS harness) + the
-    analytic link floor it sits on, for u8 and yuv420 transports."""
+    analytic link floor it sits on, for three transports: u8 letterbox
+    (host cv2 resize, HxWx3 bytes/img), yuv420 (1.5 B/px), and raw u8 +
+    device letterbox (source-resolution bytes/img, no host resize).
+
+    ``engine_dl`` is the main device-letterbox engine; the u8/yuv420 rows
+    get their own engines so each row isolates its transport variable
+    (same weights/bias)."""
     import time as _time
 
     import jax
@@ -291,12 +301,19 @@ def _bench_tunnel(engine_u8, model, variables_f32, codec, imgs, bias):
     up_mbps = mb / sorted(ups)[1]
     out["link_upload_MB_per_s"] = round(up_mbps, 1)
 
-    eng_yuv = FOTSInference(model, variables_f32, codec=codec,
-                            mixed_precision=MIXED_PRECISION,
-                            max_candidates=MAX_CANDIDATES,
-                            max_boxes=MAX_BOXES, transport="yuv420")
-    eng_yuv.variables["params"]["act"]["bias"] = jnp.full_like(
-        eng_yuv.variables["params"]["act"]["bias"], bias)
+    def mk(**kw):
+        e = FOTSInference(model, variables_f32, codec=codec,
+                          mixed_precision=MIXED_PRECISION,
+                          max_candidates=MAX_CANDIDATES,
+                          max_boxes=MAX_BOXES, **kw)
+        e.variables["params"]["act"]["bias"] = jnp.full_like(
+            e.variables["params"]["act"]["bias"], bias)
+        return e
+
+    src_bytes = imgs[0].shape[0] * imgs[0].shape[1] * 3  # raw u8 source
+    rows = (("u8", mk(), H * W * 3),
+            ("yuv420", mk(transport="yuv420"), H * W * 3 // 2),
+            ("u8_raw_device_letterbox", engine_dl, src_bytes))
 
     def batches(n):
         k = 0
@@ -305,7 +322,7 @@ def _bench_tunnel(engine_u8, model, variables_f32, codec, imgs, bias):
             k = (k + BATCH) % len(imgs)
             yield chunk
 
-    for transport, eng in (("u8", engine_u8), ("yuv420", eng_yuv)):
+    for transport, eng, bytes_per_img in rows:
         n_batches = 2
         for _ in eng.stream(batches(n_batches), serve_hw=(H, W)):
             pass  # warm
@@ -316,7 +333,6 @@ def _bench_tunnel(engine_u8, model, variables_f32, codec, imgs, bias):
 
         best, med = _best_median(run, n=3)
         ips = BATCH * n_batches / best
-        bytes_per_img = H * W * 3 if transport == "u8" else H * W * 3 // 2
         floor = up_mbps * 1024 * 1024 / bytes_per_img
         out[transport] = {
             "images_per_sec": round(ips, 2),

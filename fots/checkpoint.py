@@ -64,8 +64,7 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, int]:
         opt_state=restored["opt_state"],
         # land the global step in the TrainState itself so a resumed
         # Trainer.train() continues the global step numbering
-        step=jnp.asarray(int(restored["step"]), dtype=jnp.int32)
-        if hasattr(state, "step") else state.step,
+        step=jnp.asarray(int(restored["step"]), dtype=jnp.int32),
     )
     return new_state, int(restored["step"])
 

@@ -106,6 +106,23 @@ def s2d_conv_kernel(w, f_in: int, f_out: int, stride: int):
     return big.reshape(k2, k2, f_in * f_in * cin, f_out * f_out * cout)
 
 
+@functools.lru_cache(maxsize=None)
+def _crelu_half_perm(f_in: int, cin: int):
+    """Input-row permutation mapping the HALF channel layout produced by
+    ``crelu_instance_norm_s2d`` (first f_in^2*Cin/2 channels = +x part,
+    rest = -x part, each sub-major) onto the plain sub-major layout a
+    derived kernel expects.  Half-layout position p holds (u, j): first
+    half j < Corig, second half j >= Corig; the plain layout stores (u, j)
+    at u*Cin + j."""
+    fi2 = f_in * f_in
+    corig = cin // 2
+    perm = np.empty(fi2 * cin, np.int32)
+    p = np.arange(fi2 * corig)
+    perm[: fi2 * corig] = (p // corig) * cin + (p % corig)
+    perm[fi2 * corig:] = (p // corig) * cin + corig + (p % corig)
+    return perm
+
+
 def s2d_conv(x, w, f_in: int, f_out: int, stride: int, out_cells,
              crelu_half_in: bool = False):
     """Apply the canonical conv ``w`` on the S2D representation ``x``.
@@ -113,27 +130,15 @@ def s2d_conv(x, w, f_in: int, f_out: int, stride: int, out_cells,
     x: [B, Hc, Wc, f_in^2*Cin] cells; returns [B, out_cells[0],
     out_cells[1], f_out^2*Cout].
 
-    crelu_half_in: the input uses the HALF channel layout produced by
-    ``crelu_instance_norm_s2d`` (first f_in^2*Cin/2 channels = +x part,
-    rest = -x part, each sub-major) instead of the plain sub-major layout;
-    the derived kernel's input rows are permuted accordingly (free — it
-    happens at kernel-derivation time).
+    crelu_half_in: the input uses the half channel layout (see
+    :func:`_crelu_half_perm`); the derived kernel's input rows are
+    permuted accordingly (free — it happens at kernel-derivation time).
     """
     kernel = w.shape[0]
     k2, pad_lo, s_cell, _ = _s2d_tap_plan(kernel, stride, f_in, f_out)
     wk = s2d_conv_kernel(w, f_in, f_out, stride).astype(x.dtype)
     if crelu_half_in:
-        fi2 = f_in * f_in
-        cin = w.shape[2]          # canonical input channels (= 2*Corig)
-        corig = cin // 2
-        # half-layout position p holds (u, j): first half j < Corig,
-        # second half j >= Corig; the plain layout stores (u, j) at
-        # u*Cin + j.
-        perm = np.empty(fi2 * cin, np.int32)
-        p = np.arange(fi2 * corig)
-        perm[: fi2 * corig] = (p // corig) * cin + (p % corig)
-        perm[fi2 * corig:] = (p // corig) * cin + corig + (p % corig)
-        wk = wk[:, :, perm, :]
+        wk = wk[:, :, _crelu_half_perm(f_in, w.shape[2]), :]
     cells_in = x.shape[1:3]
     pads = []
     for i in range(2):
@@ -144,27 +149,20 @@ def s2d_conv(x, w, f_in: int, f_out: int, stride: int, out_cells,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-@functools.lru_cache(maxsize=None)
-def _s2d_tap_plan_1t(kernel: int, stride: int, f_in: int, t: int):
-    """1-D tap table for a SINGLE output sub-position ``t``.
+def _s2d_tap_plan_1t(kernel: int, stride: int, f_in: int, f_out: int,
+                     t: int):
+    """1-D tap table for a SINGLE output sub-position ``t``: the union
+    plan's column ``t`` trimmed to its minimal cell window.
 
     Returns (k2, pad_lo_cell, k_tab [k2, f_in]) where k_tab[a, u] is the
     canonical kernel tap feeding cell offset ``a`` sub-position ``u``
     (-1 = structurally zero).
     """
-    pad = _same_pad_lo(kernel, stride)
-    raw = []
-    amin, amax = 10**9, -(10**9)
-    for k in range(kernel):
-        p = stride * t + k - pad
-        a, u = p // f_in, p % f_in
-        amin, amax = min(amin, a), max(amax, a)
-        raw.append((k, a, u))
-    k2 = amax - amin + 1
-    k_tab = np.full((k2, f_in), -1, np.int32)
-    for k, a, u in raw:
-        k_tab[a - amin, u] = k
-    return k2, -amin, k_tab
+    _, pad_lo, _, k_tab = _s2d_tap_plan(kernel, stride, f_in, f_out)
+    tab = k_tab[:, :, t]                               # [K2, f_in]
+    live = np.nonzero((tab >= 0).any(axis=1))[0]
+    a0, a1 = int(live[0]), int(live[-1])
+    return a1 - a0 + 1, pad_lo - a0, tab[a0:a1 + 1]
 
 
 def s2d_conv_split(x, w, f_in: int, f_out: int, stride: int, out_cells,
@@ -187,18 +185,14 @@ def s2d_conv_split(x, w, f_in: int, f_out: int, stride: int, out_cells,
     s_cell = (stride * f_out) // f_in
     perm = None
     if crelu_half_in:
-        fi2 = f_in * f_in
-        corig = cin // 2
-        perm = np.empty(fi2 * cin, np.int32)
-        p = np.arange(fi2 * corig)
-        perm[: fi2 * corig] = (p // corig) * cin + (p % corig)
-        perm[fi2 * corig:] = (p // corig) * cin + corig + (p % corig)
+        perm = _crelu_half_perm(f_in, cin)
     cells_in = x.shape[1:3]
     outs = []
     for ty in range(f_out):
-        k2y, pady, taby = _s2d_tap_plan_1t(kernel, stride, f_in, ty)
+        k2y, pady, taby = _s2d_tap_plan_1t(kernel, stride, f_in, f_out, ty)
         for tx in range(f_out):
-            k2x, padx, tabx = _s2d_tap_plan_1t(kernel, stride, f_in, tx)
+            k2x, padx, tabx = _s2d_tap_plan_1t(kernel, stride, f_in, f_out,
+                                               tx)
             ky = taby[:, None, :, None]            # [k2y,1,uy,1]
             kx = tabx[None, :, None, :]            # [1,k2x,1,ux]
             ky, kx = np.broadcast_arrays(ky, kx)   # [k2y,k2x,uy,ux]

@@ -477,12 +477,20 @@ class Trainer:
                 msg = " ".join(f"{k}: {self.metrics[k].val():.3f}" for k in self.metrics)
                 print(f"step {step_idx} {msg} time {dt:.3f}s", flush=True)
                 t0 = time.time()
-            if checkpoint_dir and step_idx > 0 and step_idx % checkpoint_every == 0:
+            if checkpoint_dir and (step_idx + 1) % checkpoint_every == 0:
                 self.drain_metrics()
-                save_checkpoint(checkpoint_dir, self.state, step_idx)
+                # label = applied update count (state.step), the value
+                # restore_checkpoint puts back — so resuming from
+                # step_N continues at exactly N and never re-executes or
+                # overwrites the checkpoint it resumed from (exception-
+                # skipped steps make state.step lag step_idx, which the
+                # label must reflect)
+                save_checkpoint(checkpoint_dir, self.state,
+                                int(np.asarray(jax.device_get(self.state.step))))
                 for avg in self.metrics.values():
                     avg.reset()
         pool.shutdown(wait=True)
         self.drain_metrics()
         if checkpoint_dir:
-            save_checkpoint(checkpoint_dir, self.state, max_steps)
+            save_checkpoint(checkpoint_dir, self.state,
+                            int(np.asarray(jax.device_get(self.state.step))))

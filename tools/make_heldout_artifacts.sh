@@ -8,7 +8,7 @@
 # (VERDICT r2 item 8: measure the prefix-beam delta or delete the claim).
 #
 # Usage: tools/make_heldout_artifacts.sh [CKPT] [BEAM]
-set -ex
+set -ex -o pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH=".${PYTHONPATH:+:$PYTHONPATH}"
 CKPT=${1:-/tmp/heldout_ckpt/step_20001}
@@ -34,7 +34,10 @@ python -m fots.cli.eval_e2e -model "$CKPT" \
   -out_json artifacts/heldout_trainset_metrics.json \
   | tail -3 >> artifacts/heldout_e2e_stdout.txt
 
-# overlay images on the held-out images for visual inspection
+# overlay images on the HELD-OUT images only, for visual inspection
+EVAL_DIR=$(mktemp -d)
+while read -r im; do cp "$im" "$EVAL_DIR/"; done < data/heldout_eval.txt
 python -m fots.cli.detect -model "$CKPT" \
-  -test_folder data/synth \
+  -test_folder "$EVAL_DIR" \
   -output artifacts/heldout_overlays
+rm -rf "$EVAL_DIR"
