@@ -2,9 +2,15 @@
 
 The reference only decodes greedily (argmax + collapse,
 src/utils.py:74-109).  Prefix beam search keeps the ``beam_width`` most
-probable label prefixes while marginalizing over alignments — typically
-worth 1-3 accuracy points on hard crops at negligible host cost for the
-short sequences here (W <= 128 frames).
+probable label prefixes while marginalizing over alignments, at
+negligible host cost for the short sequences here (W <= 128 frames).
+
+Measured A/B (eval_e2e -beam 8 vs greedy, held-out synth images,
+step-20001 checkpoint, artifacts/heldout_e2e_metrics*.json): e2e hmean
+0.421 beam vs 0.432 greedy — on a well-converged recognizer the argmax
+path is already dominant and beam marginalization does NOT pay on this
+data; the flag exists for harder/longer-text checkpoints where alignment
+ambiguity is real.
 """
 
 from __future__ import annotations
