@@ -70,6 +70,7 @@ DEPTH = 3                 # in-flight detector forwards (rides out the
 MIXED_PRECISION = True    # bf16 backbone/recognizer, f32 geometry heads
 EXAMPLE_DIR = "/root/reference/data/example_image"
 V5E_PEAK_BF16_FLOPS = 197e12   # v5e chip peak (jax-ml.github.io/scaling-book)
+V5E_PEAK_HBM_BPS = 819e9       # v5e HBM bandwidth peak (same source)
 
 
 def _synthetic_nms_maps():
@@ -186,6 +187,48 @@ def _calibrate_bias(engine, imgs):
             break
         bias = (lo_b + hi_b) / 2
     return bias, dens
+
+
+def _canonical_model_flops(nclass, image_shape):
+    """XLA-counted FLOPs of the canonical (stem_s2d=False) detector forward.
+
+    Compiled for CPU, never executed — the honest-MFU numerator.  Runs in
+    a JAX_PLATFORMS=cpu subprocess because the axon plugin registers
+    itself as the only backend in this process.
+    """
+    import os
+    import subprocess
+
+    script = r"""
+import json, sys
+import jax, jax.numpy as jnp
+from fots.models import FOTSDetector
+
+nclass, b, h, w, c = map(int, sys.argv[1:6])
+model = FOTSDetector(nclass=nclass, stem_s2d=False)
+# param shapes are resolution-independent (fully conv): shape-infer the
+# init at a tiny image, lower apply at the real shape.
+var_shapes = jax.eval_shape(
+    model.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, c)))
+
+def canon(variables, images):
+    out = model.apply(variables, images.astype(jnp.bfloat16), train=False)
+    return out["segm"][0], out["focr"]
+
+cost = jax.jit(canon).lower(
+    var_shapes, jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)
+).compile().cost_analysis()
+if isinstance(cost, (list, tuple)):
+    cost = cost[0]
+print(json.dumps({"flops": float(cost.get("flops", 0.0))}))
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    b, h, w = image_shape[0], image_shape[1], image_shape[2]
+    out = subprocess.run(
+        [sys.executable, "-c", script,
+         str(nclass), str(b), str(h), str(w), "3"],
+        capture_output=True, text=True, timeout=600, env=env, check=True)
+    return float(json.loads(out.stdout.strip().splitlines()[-1])["flops"])
 
 
 def _bench_staged_real(engine, imgs):
@@ -554,29 +597,29 @@ def main():
             extra["detector_mfu_pct"] = round(
                 100.0 * flops / dev_s / V5E_PEAK_BF16_FLOPS, 2)
             extra["detector_gflops_batch16"] = round(flops / 1e9, 1)
+            # the roofline story (docs/PERFORMANCE.md "The HBM wall"): the
+            # detector is bandwidth-bound, so % of HBM peak — not MFU — is
+            # the utilization number that can approach 100.  The MFU ceiling
+            # implied by the program's arithmetic intensity is reported so
+            # the MFU numbers above can be read against what is achievable.
+            bytes_acc = float(cost.get("bytes accessed", 0.0))
+            if bytes_acc > 0:
+                ai = flops / bytes_acc
+                extra["detector_bytes_accessed_gb"] = round(bytes_acc / 1e9, 2)
+                extra["detector_hbm_gbps"] = round(bytes_acc / 1e9 / dev_s, 0)
+                extra["detector_hbm_pct_of_peak"] = round(
+                    100.0 * (bytes_acc / dev_s) / V5E_PEAK_HBM_BPS, 1)
+                extra["detector_bw_bound_mfu_ceiling_pct"] = round(
+                    100.0 * ai * V5E_PEAK_HBM_BPS / V5E_PEAK_BF16_FLOPS, 1)
             # honest MFU: the S2D stem EXECUTES redundant FLOPs to save HBM
             # bandwidth (fots/ops/s2d.py), which the count above credits as
             # useful work.  Count the canonical (non-S2D) formulation via a
-            # CPU-backend lowering (never executed) and report that too.
+            # CPU-backend compile (never executed) and report that too.
+            # The axon plugin registers itself as the ONLY backend, so the
+            # count runs in a JAX_PLATFORMS=cpu subprocess.
             try:
-                model_c = FOTSDetector(nclass=codec.num_classes,
-                                       stem_s2d=False)
-
-                def _canon(variables, images):
-                    out = model_c.apply(variables, images.astype(jnp.bfloat16),
-                                        train=False)
-                    return out["segm"][0], out["focr"]
-
-                ccost = jax.jit(
-                    _canon, device=jax.devices("cpu")[0]).lower(
-                    jax.tree.map(
-                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-                        variables),
-                    jax.ShapeDtypeStruct(images.shape, images.dtype)
-                ).compile().cost_analysis()
-                if isinstance(ccost, (list, tuple)):
-                    ccost = ccost[0]
-                cflops = float(ccost.get("flops", 0.0))
+                cflops = _canonical_model_flops(
+                    codec.num_classes, images.shape)
                 extra["detector_model_gflops_batch16"] = round(cflops / 1e9, 1)
                 extra["detector_honest_mfu_pct"] = round(
                     100.0 * cflops / dev_s / V5E_PEAK_BF16_FLOPS, 2)
