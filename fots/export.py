@@ -76,12 +76,21 @@ def export_serving(engine, out_dir: str, batch: int, height: int, width: int,
     import jax
     from jax import export as jexport
 
-    from fots.pipeline import TARGET_H
+    from fots.codec import LabelCodec
+    from fots.geometry import TARGET_H
 
     if engine.mesh is not None:
         raise ValueError("export_serving requires a single-device engine")
     if height % 32 or width % 32:
         raise ValueError("serving height/width must be /32 multiples")
+    # the bundle must be decodable without the exporting process: only the
+    # plain LabelCodec's state (alphabet) round-trips through the manifest
+    if type(engine.codec) is not LabelCodec:
+        raise ValueError(
+            f"export_serving supports LabelCodec engines; got "
+            f"{type(engine.codec).__name__} (pass a matching codec to "
+            f"ExportedEngine yourself and export with a LabelCodec stub "
+            f"if you know what you're doing)")
     os.makedirs(out_dir, exist_ok=True)
 
     # pull params to host once; bf16 stored as f32 (npz limitation).
@@ -91,6 +100,14 @@ def export_serving(engine, out_dir: str, batch: int, height: int, width: int,
     host_vars = _unflatten(_flatten(jax.tree.map(np.asarray,
                                                  engine.variables)))
     flat = _flatten(host_vars)
+    # vocab-head width must match the codec baked into the manifest,
+    # or every served string would silently decode with the wrong alphabet
+    for key, arr in flat.items():
+        if key.endswith(f"conv11{_SEP}kernel"):
+            if arr.shape[-1] != engine.codec.num_classes:
+                raise ValueError(
+                    f"vocab head {key} has {arr.shape[-1]} classes but the "
+                    f"engine codec expects {engine.codec.num_classes}")
     dtypes = {k: str(v.dtype) for k, v in flat.items()}
     np.savez(os.path.join(out_dir, "params.npz"),
              **{k: (v.astype(np.float32) if v.dtype == np.dtype("bfloat16")
@@ -137,6 +154,9 @@ def export_serving(engine, out_dir: str, batch: int, height: int, width: int,
         "mixed_precision": engine.mixed_precision,
         "masked_norm": engine.masked_norm,
         "max_boxes": engine.max_boxes,
+        "codec": {"type": "LabelCodec",
+                  "alphabet": engine.codec.alphabet,
+                  "ignore_case": bool(engine.codec.ignore_case)},
         "param_dtypes": dtypes,
         "programs": programs,
     }
@@ -166,9 +186,11 @@ class ExportedEngine:
 
         with np.load(os.path.join(bundle_dir, "params.npz")) as z:
             flat = {k: z[k] for k in z.files}
+        # device-put every param once at load (restoring the exported
+        # dtype: bf16 params travel as f32 in the npz); leaving them as
+        # host numpy would re-ship the whole weight set on every call
         for k, dt in self.manifest["param_dtypes"].items():
-            if dt == "bfloat16":
-                flat[k] = jnp.asarray(flat[k], jnp.bfloat16)
+            flat[k] = jnp.asarray(flat[k], dt)
         self.variables = _unflatten(flat)
 
         def _load(fname):
@@ -180,7 +202,16 @@ class ExportedEngine:
         self._recognize = {
             p["width"]: _load(p["file"])
             for name, p in progs.items() if name.startswith("recognize_")}
-        self.codec = codec or LabelCodec()
+        if codec is not None:
+            self.codec = codec
+        else:
+            spec = self.manifest.get("codec")
+            if spec is None or spec.get("type") != "LabelCodec":
+                raise ValueError(
+                    "bundle manifest carries no LabelCodec spec; pass the "
+                    "matching codec= explicitly")
+            self.codec = LabelCodec(alphabet=spec["alphabet"],
+                                    ignore_case=spec["ignore_case"])
 
     @property
     def serve_hw(self) -> Tuple[int, int]:
@@ -203,9 +234,8 @@ class ExportedEngine:
         """
         import cv2
 
-        from fots.geometry import rroi_from_box
+        from fots.geometry import rroi_from_box, strip_width_for_box
         from fots.ops.nms import get_boxes_from_candidates_batch
-        from fots.pipeline import strip_width_for_box
 
         m = self.manifest
         H, W = self.serve_hw
@@ -224,7 +254,8 @@ class ExportedEngine:
         per_image_boxes = get_boxes_from_candidates_batch(
             np.asarray(cands)[:n], H // 4, W // 4,
             m["segm_thresh"], m["iou_th1"], m["iou_th2"])
-        if m.get("max_boxes"):
+        if m.get("max_boxes") is not None:  # 0 is a valid cap (matches
+            # FOTSInference._cap_boxes's `is None` semantics)
             capped = []
             for b in per_image_boxes:
                 if b.shape[0] > m["max_boxes"]:

@@ -23,6 +23,23 @@ import cv2
 import numpy as np
 
 SCALE_FACTOR = 4  # detection targets live at 1/4 input resolution
+TARGET_H = 11     # recognition strip height at 1/4 scale (ocr_utils.py:147)
+
+
+def strip_width_for_box(w: float, h: float, target_h: int = TARGET_H,
+                        buckets: Sequence[int] = (256, 512)) -> int:
+    """Reference width rule (ocr_utils.py:148-150): scale to target height,
+    add target_h, round down to /32 (min 64), then snap up to a bucket.
+
+    Lives here (host-only module) so the exported-bundle runtime
+    (fots/export.py) can bucket rois without importing model code."""
+    scale = target_h / max(1.0, h)
+    target_gw = int(w * scale) + target_h
+    target_gw = max(2, target_gw // 32) * 32
+    for b in buckets:
+        if target_gw <= b:
+            return b
+    return buckets[-1]
 
 
 def poly_angle(pts: np.ndarray) -> float:

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fots.codec import LabelCodec
-from fots.geometry import resize_to_multiple_of_32, rroi_from_box
+from fots.geometry import (TARGET_H, resize_to_multiple_of_32, rroi_from_box,
+                           strip_width_for_box as _strip_width_for_box)
 from fots.models import FOTSDetector
 from fots.ops.nms import (extract_candidates, get_boxes_from_candidates,
                           get_boxes_from_candidates_batch)
@@ -49,7 +50,6 @@ STRIP_BUCKETS = (256, 512)
 # invariant by construction, so short words can use narrow buckets —
 # up to 8x less recognition compute than the coarse train-matched grid.
 FINE_STRIP_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
-TARGET_H = 11  # recognition strip height at 1/4 scale (ocr_utils.py:147)
 
 # parameter subtrees kept in f32 under mixed precision: geometry/score
 # heads need sub-pixel precision and the vocab logits a stable softmax
@@ -118,15 +118,9 @@ def cast_params_bf16(variables: Dict, keep_f32=_KEEP_F32) -> Dict:
 
 def strip_width_for_box(w: float, h: float, target_h: int = TARGET_H,
                         buckets=FINE_STRIP_BUCKETS) -> int:
-    """Reference width rule (ocr_utils.py:148-150): scale to target height,
-    add target_h, round down to /32 (min 64), then snap up to a bucket."""
-    scale = target_h / max(1.0, h)
-    target_gw = int(w * scale) + target_h
-    target_gw = max(2, target_gw // 32) * 32
-    for b in buckets:
-        if target_gw <= b:
-            return b
-    return buckets[-1]
+    """Reference width rule; canonical implementation in fots.geometry
+    (host-only module), re-exported here with the serving default grid."""
+    return _strip_width_for_box(w, h, target_h, buckets)
 
 
 def valid_frames(roi: np.ndarray, width: int, target_h: int = TARGET_H) -> int:

@@ -45,7 +45,10 @@ def test_dryrun_multichip_as_driver():
          "import __graft_entry__\n"
          "__graft_entry__.dryrun_multichip(8)\n"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
-        timeout=1500,
+        # the hardened dryrun (2 steps + sharded ckpt roundtrip + mesh
+        # serving) takes ~1400s alone on this 1-core host and the slow
+        # tier often runs alongside other work — leave real headroom
+        timeout=3600,
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
     assert "dryrun_multichip ok" in r.stdout
