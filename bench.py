@@ -348,7 +348,7 @@ def _bench_tunnel(engine_dl, model, variables_f32, codec, imgs, bias):
         e = FOTSInference(model, variables_f32, codec=codec,
                           mixed_precision=MIXED_PRECISION,
                           max_candidates=MAX_CANDIDATES,
-                          max_boxes=MAX_BOXES, **kw)
+                          max_boxes=MAX_BOXES, masked_norm=True, **kw)
         e.variables["params"]["act"]["bias"] = jnp.full_like(
             e.variables["params"]["act"]["bias"], bias)
         return e
@@ -425,11 +425,15 @@ def main():
     imgs = _load_real_images()
     staged = {"images_per_sec": 0.0, "images_per_sec_median": 0.0}
     if imgs:
+        # masked_norm=True: serve with the fine strip-bucket grid, matching
+        # the shipped training default (fots/train.py masked_norm=True) — a
+        # production engine serves this config.  A/B on this harness:
+        # fine 101.4/99.4 img/s (best/median) vs coarse 100.6/96.4.
         engine = FOTSInference(model, variables_f32, codec=codec,
                                mixed_precision=MIXED_PRECISION,
                                max_candidates=MAX_CANDIDATES,
                                max_boxes=MAX_BOXES,
-                               device_letterbox=True)
+                               device_letterbox=True, masked_norm=True)
         bias, dens = _calibrate_bias(engine, imgs)
         extra["real_load"] = {"score_bias": round(bias, 3),
                               "candidate_pixels_per_image": round(dens)}
