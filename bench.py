@@ -345,10 +345,11 @@ def _bench_tunnel(engine_dl, model, variables_f32, codec, imgs, bias):
     out["link_upload_MB_per_s"] = round(up_mbps, 1)
 
     def mk(**kw):
+        kw.setdefault("masked_norm", True)
         e = FOTSInference(model, variables_f32, codec=codec,
                           mixed_precision=MIXED_PRECISION,
                           max_candidates=MAX_CANDIDATES,
-                          max_boxes=MAX_BOXES, masked_norm=True, **kw)
+                          max_boxes=MAX_BOXES, **kw)
         e.variables["params"]["act"]["bias"] = jnp.full_like(
             e.variables["params"]["act"]["bias"], bias)
         return e
@@ -452,7 +453,8 @@ def main():
         try:
             single = FOTSInference(model, variables_f32, codec=codec,
                                    mixed_precision=MIXED_PRECISION,
-                                   max_candidates=MAX_CANDIDATES)
+                                   max_candidates=MAX_CANDIDATES,
+                                   masked_norm=True)
             single.variables["params"]["act"]["bias"] = jnp.full_like(
                 single.variables["params"]["act"]["bias"], bias)
             extra["real_load"]["boxes_per_image_uncapped"] = round(

@@ -23,6 +23,7 @@ a width bucket, then the recognition head + CTC.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -32,8 +33,14 @@ import numpy as np
 from fots.codec import LabelCodec
 from fots.ops.rroi_align import width_bucket
 
-MAX_ROIS = 32
-MAX_LABEL_LEN = 64
+# MAX_ROIS / MAX_LABEL_LEN / TRAIN_STRIP_BUCKETS are env-overridable
+# compile-surface knobs: the driver's multi-chip dryrun
+# (__graft_entry__.dryrun_multichip) must jit the FULL train step on a
+# virtual 8-device CPU mesh of a 1-core host inside a ~10 min budget, and
+# the compiled program size scales with all three.  Production defaults
+# match the reference (32 rois/batch, ocr_process.py:104-221).
+MAX_ROIS = int(os.environ.get("FOTS_MAX_ROIS", "32"))
+MAX_LABEL_LEN = int(os.environ.get("FOTS_MAX_LABEL_LEN", "64"))
 POOLED_HEIGHT = 11  # reference ocr_process.py:260
 
 # coarse bucket grid for TRAINING strips: every distinct width compiles a
@@ -50,7 +57,9 @@ POOLED_HEIGHT = 11  # reference ocr_process.py:260
 # model is trained with masked (bucket-width-invariant) InstanceNorm,
 # Trainer(masked_norm=True), in which case serving may use the fine
 # FINE_STRIP_BUCKETS grid.  See fots/pipeline.py:STRIP_BUCKETS.
-TRAIN_STRIP_BUCKETS = (256, 512)
+TRAIN_STRIP_BUCKETS = tuple(
+    int(w) for w in os.environ.get(
+        "FOTS_TRAIN_STRIP_BUCKETS", "256,512").split(","))
 
 
 @dataclass

@@ -40,15 +40,23 @@ def test_dryrun_multichip_as_driver():
     # the driver starts from the container's default env: no CPU forcing
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    import time as _time
+
+    t0 = _time.time()
     r = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__\n"
          "__graft_entry__.dryrun_multichip(8)\n"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
-        # the hardened dryrun (2 steps + sharded ckpt roundtrip + mesh
-        # serving) takes ~1400s alone on this 1-core host and the slow
-        # tier often runs alongside other work — leave real headroom
-        timeout=3600,
+        timeout=900,
     )
+    wall = _time.time() - t0
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
     assert "dryrun_multichip ok" in r.stdout
+    # The driver kills the dryrun at ~10 min (MULTICHIP_r03 died rc=124 at
+    # ~600 s with the round-3 full-size shapes).  The round-4 shrunk
+    # compile surface (8 rois, 64-wide strips, 750-class vocab — same
+    # sharding topology) measures 382 s on this 1-core host; assert the
+    # ≤8 min budget so a compile-surface regression fails HERE, not in
+    # the driver artifact.
+    assert wall < 480, f"dryrun took {wall:.0f}s, budget is 480s"
