@@ -18,14 +18,15 @@ number and an analytic proof that it sits ON that link floor are in
 A 2x-lighter yuv420 transport (halves link bytes; the source JPEGs are
 4:2:0 anyway) is measured there too.
 
-Load realism: no pretrained weights exist (reference publishes none), so
-weights are random with the score-head bias bisected to a realistic
-candidate density (~100-800 live candidate px/image).  Random-weight
-candidates are spatially incoherent, so after NMS they leave ~5-8x more
-boxes than a trained detector (~83 vs ~10/image measured); recognition is
-therefore capped at top-16 boxes/image by score (engine ``max_boxes``) to
-hold the recognition load at a trained model's level while keeping NMS
-itself at full live load.
+Load realism: when the committed trained snapshot
+``artifacts/serving_params.npz`` exists (round 4+: the synthbig joint
+checkpoint, see docs/ACCURACY.md), the bench serves IT — real score maps,
+real box counts, recognition uncapped — the reference's own posture
+(test.py:59-67 loads weights before measuring).  Without it, weights are
+random with the score-head bias bisected to a realistic candidate density
+(~100-800 live candidate px/image) and recognition capped at top-16
+boxes/image by score (random-weight candidates are spatially incoherent
+and survive NMS ~5-8x more often than a trained detector's).
 
 Prints ONE JSON line:
   {"metric": "icdar2015_e2e_images_per_sec_staged", "value": N,
@@ -42,9 +43,9 @@ Prints ONE JSON line:
   RoIRotate crops/sec, recognition crops/sec, detector MFU, stage
   profile, host-contention probe.
 
-`python bench.py --train` additionally times the joint train step
-(BASELINE config 5) — excluded from the default run because its remote
-compile is the slowest single program.
+The joint train step (BASELINE config 5) is timed by default into
+``extra["joint_train"]`` (img/s + step-wall p50/p90); ``--no-train``
+skips it (its remote compile is the slowest single program).
 """
 
 import json
@@ -349,9 +350,11 @@ def _bench_tunnel(engine_dl, model, variables_f32, codec, imgs, bias):
         e = FOTSInference(model, variables_f32, codec=codec,
                           mixed_precision=MIXED_PRECISION,
                           max_candidates=MAX_CANDIDATES,
-                          max_boxes=MAX_BOXES, **kw)
-        e.variables["params"]["act"]["bias"] = jnp.full_like(
-            e.variables["params"]["act"]["bias"], bias)
+                          max_boxes=None if bias is None else MAX_BOXES,
+                          **kw)
+        if bias is not None:  # random-init mode: calibrated score bias
+            e.variables["params"]["act"]["bias"] = jnp.full_like(
+                e.variables["params"]["act"]["bias"], bias)
         return e
 
     src_bytes = imgs[0].shape[0] * imgs[0].shape[1] * 3  # raw u8 source
@@ -418,6 +421,22 @@ def main():
     # minutes of pointless remote compile
     variables_f32 = init_detector(model, jax.random.PRNGKey(0))
 
+    # Trained weights, when the committed serving snapshot exists: the
+    # recognition load is then the detector's REAL output (no score-bias
+    # bisection, no max_boxes cap) — the reference's own bench posture
+    # (test.py:59-67 loads published weights before measuring).  Absent
+    # the snapshot, fall back to random-init + calibrated bias + capped
+    # boxes (rounds 1-3 behavior).
+    trained_step = None
+    ckpt_npz = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", "serving_params.npz")
+    if os.path.exists(ckpt_npz):
+        from fots.checkpoint import load_serving_params
+
+        variables_f32, trained_step = load_serving_params(
+            ckpt_npz, variables_f32)
+    trained = trained_step is not None
+
     extra["host_contention"] = _host_contention_probe()
 
     # ======== REAL-IMAGE benches (headline) ========
@@ -433,11 +452,23 @@ def main():
         engine = FOTSInference(model, variables_f32, codec=codec,
                                mixed_precision=MIXED_PRECISION,
                                max_candidates=MAX_CANDIDATES,
-                               max_boxes=MAX_BOXES,
+                               max_boxes=None if trained else MAX_BOXES,
                                device_letterbox=True, masked_norm=True)
-        bias, dens = _calibrate_bias(engine, imgs)
-        extra["real_load"] = {"score_bias": round(bias, 3),
-                              "candidate_pixels_per_image": round(dens)}
+        if trained:
+            bias = None
+            probe = [imgs[j % len(imgs)] for j in range(BATCH)]
+            pb, _ = engine._letterbox(probe, (H, W))
+            cands, _f = engine._dispatch_detect(pb)
+            dens = float((np.asarray(cands)[:, 0, :] > 0).sum(axis=1).mean())
+            extra["real_load"] = {
+                "weights": f"trained step {trained_step} "
+                           "(artifacts/serving_params.npz)",
+                "candidate_pixels_per_image": round(dens),
+            }
+        else:
+            bias, dens = _calibrate_bias(engine, imgs)
+            extra["real_load"] = {"score_bias": round(bias, 3),
+                                  "candidate_pixels_per_image": round(dens)}
         try:
             staged = _bench_staged_real(engine, imgs)
             extra["staged_real"] = staged
@@ -455,8 +486,9 @@ def main():
                                    mixed_precision=MIXED_PRECISION,
                                    max_candidates=MAX_CANDIDATES,
                                    masked_norm=True)
-            single.variables["params"]["act"]["bias"] = jnp.full_like(
-                single.variables["params"]["act"]["bias"], bias)
+            if bias is not None:
+                single.variables["params"]["act"]["bias"] = jnp.full_like(
+                    single.variables["params"]["act"]["bias"], bias)
             extra["real_load"]["boxes_per_image_uncapped"] = round(
                 sum(len(single(im)[0]) for im in imgs[:3]) / 3.0, 1)
         except Exception as e:
@@ -650,7 +682,10 @@ def main():
     except Exception as e:
         extra["rroi_error"] = repr(e)
 
-    if "--train" in sys.argv:
+    # joint train-step throughput (BASELINE config 5) — default ON since
+    # round 4 so the driver-recorded BENCH artifact carries a train number
+    # (VERDICT r3 item 5); skip with --no-train for quick serving-only runs
+    if "--no-train" not in sys.argv:
         try:
             extra["joint_train"] = _bench_joint_train()
         except Exception as e:
@@ -699,13 +734,17 @@ def _bench_joint_train():
     )
     trainer.step(batch)  # compile
     t = []
-    for _ in range(6):
+    for _ in range(12):
         t0 = time.perf_counter()
         trainer.step(batch)
         t.append(time.perf_counter() - t0)
-    dt = min(t)
+    ts = sorted(t)
+    dt = ts[0]
     return {"images_per_sec": round(b / dt, 2),
-            "step_wall_ms": round(dt * 1e3, 1)}
+            "step_wall_ms": round(dt * 1e3, 1),
+            "step_wall_ms_p50": round(ts[len(ts) // 2] * 1e3, 1),
+            "step_wall_ms_p90": round(ts[int(len(ts) * 0.9)] * 1e3, 1),
+            "batch": b, "input_size": size}
 
 
 if __name__ == "__main__":

@@ -57,36 +57,53 @@ def main():
     codec = LabelCodec()
     model = FOTSDetector(nclass=codec.num_classes)
     variables = init_detector(model, jax.random.PRNGKey(0))
+
+    # trained serving snapshot, when committed (same policy as bench.py):
+    # real score maps, real box load, no bias games
+    trained_step = None
+    ckpt_npz = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "artifacts", "serving_params.npz")
+    if os.path.exists(ckpt_npz):
+        from fots.checkpoint import load_serving_params
+
+        variables, trained_step = load_serving_params(ckpt_npz, variables)
+
     engine = FOTSInference(model, variables, codec=codec,
-                           mixed_precision=True,
+                           mixed_precision=True, masked_norm=True,
                            max_candidates=MAX_CANDIDATES)
 
     paths = sorted(glob.glob(EXAMPLE_DIR + "/*.jpg"))
     imgs = [cv2.imread(p) for p in paths]
     imgs = [im for im in imgs if im is not None]
 
-    # --- bias bisect to a realistic candidate density (as bench.py) ---
-    target = (100, 800)
-    bias, lo_b, hi_b = -2.0, -8.0, 2.0
     probe = [imgs[j % len(imgs)] for j in range(BATCH)]
-    dens = None
-    for _ in range(8):
-        eb = engine.variables["params"]["act"]["bias"]
-        engine.variables["params"]["act"]["bias"] = jnp.full_like(eb, bias)
+    if trained_step is not None:
         batch, _ = engine._letterbox(probe, (H, W))
         cands, _f = engine._dispatch_detect(batch)
-        c = np.asarray(cands)
-        dens = float((c[:, 0, :] > 0).sum(axis=1).mean())
-        if dens < target[0]:
-            lo_b = bias
-        elif dens > target[1]:
-            hi_b = bias
-        else:
-            break
-        bias = (lo_b + hi_b) / 2
-
-    out = {"candidate_pixels_per_image": round(dens, 1),
-           "score_bias": round(bias, 3)}
+        dens = float((np.asarray(cands)[:, 0, :] > 0).sum(axis=1).mean())
+        out = {"candidate_pixels_per_image": round(dens, 1),
+               "weights": f"trained step {trained_step}"}
+    else:
+        # --- bias bisect to a realistic candidate density (as bench.py) ---
+        target = (100, 800)
+        bias, lo_b, hi_b = -2.0, -8.0, 2.0
+        dens = None
+        for _ in range(8):
+            eb = engine.variables["params"]["act"]["bias"]
+            engine.variables["params"]["act"]["bias"] = jnp.full_like(eb, bias)
+            batch, _ = engine._letterbox(probe, (H, W))
+            cands, _f = engine._dispatch_detect(batch)
+            c = np.asarray(cands)
+            dens = float((c[:, 0, :] > 0).sum(axis=1).mean())
+            if dens < target[0]:
+                lo_b = bias
+            elif dens > target[1]:
+                hi_b = bias
+            else:
+                break
+            bias = (lo_b + hi_b) / 2
+        out = {"candidate_pixels_per_image": round(dens, 1),
+               "score_bias": round(bias, 3)}
 
     def batches(n):
         k = 0
@@ -169,6 +186,100 @@ def main():
         "decode_est_ms": round(dec_only * 1e3, 2),
         "native_merge_est_ms": round((nms_all - dec_only) * 1e3, 2),
         "candidates_in": int(valid.sum()),
+    }
+
+    # --- staged-real loop (bench.py's headline) with EVERY ms accounted:
+    # same device-letterbox engine, same 2-deep dispatch pipeline; each
+    # host stage timed inside the loop, the remainder (= time the host
+    # spent WAITING on the in-flight candidate pack) reported as
+    # wait_for_device_ms.  VERDICT r3 item 3. ---
+    from collections import deque
+
+    from fots.pipeline import _RawBatch
+
+    eng_dl = FOTSInference(model, variables, codec=codec,
+                           mixed_precision=True, masked_norm=True,
+                           max_candidates=MAX_CANDIDATES,
+                           max_boxes=None if trained_step is not None else 16,
+                           device_letterbox=True)
+    chunk = [imgs[j % len(imgs)] for j in range(BATCH)]
+    batch_staged, st_scales = eng_dl._letterbox(chunk, (H, W))
+    if isinstance(batch_staged, _RawBatch):
+        dev_imgs = jax.device_put(batch_staged.images)
+        prog = eng_dl._raw_letterbox_program(
+            batch_staged.images.shape[1:3], (H, W))
+    else:
+        dev_imgs = jax.device_put(batch_staged)
+        prog = eng_dl._forward_sparse
+    dev_imgs.block_until_ready()
+
+    def staged_run(iters, acc=None):
+        inflight = deque()
+
+        def dispatch():
+            c, f = prog(eng_dl.variables, dev_imgs)
+            try:
+                c.copy_to_host_async()
+            except AttributeError:
+                pass
+            inflight.append((c, f))
+
+        dispatch()
+        dispatch()
+        nb = 0
+        for i in range(iters):
+            t0 = t()
+            eng_dl._letterbox(chunk, (H, W))
+            t1 = t()
+            c, f = inflight.popleft()
+            cands = np.asarray(c)
+            t2 = t()
+            boxes = eng_dl._cap_boxes(get_boxes_from_candidates_batch(
+                cands[:BATCH], hs, ws, eng_dl.segm_thresh, eng_dl.iou_th1,
+                eng_dl.iou_th2))
+            t3 = t()
+            keys, jobs = eng_dl._recognize_dispatch(boxes, f)
+            t4 = t()
+            if i + 2 < iters:
+                dispatch()
+            t5 = t()
+            eng_dl._recognize_finish(BATCH, boxes, keys, jobs,
+                                     st_scales, False)
+            t6 = t()
+            nb += sum(len(b) for b in boxes)
+            if acc is not None:
+                acc["host_prep_ms"] += (t1 - t0) * 1e3
+                acc["wait_for_device_ms"] += (t2 - t1) * 1e3
+                acc["host_nms_ms"] += (t3 - t2) * 1e3
+                acc["rec_dispatch_ms"] += (t4 - t3) * 1e3
+                acc["next_dispatch_ms"] += (t5 - t4) * 1e3
+                acc["rec_finish_decode_ms"] += (t6 - t5) * 1e3
+        while inflight:
+            c, _f = inflight.popleft()
+            np.asarray(c)
+        return nb
+
+    staged_iters = 8
+    staged_run(2)  # warm
+    best_wall, accs = None, None
+    for _ in range(3):
+        acc = {k: 0.0 for k in
+               ("host_prep_ms", "wait_for_device_ms", "host_nms_ms",
+                "rec_dispatch_ms", "next_dispatch_ms",
+                "rec_finish_decode_ms")}
+        t0 = t()
+        nb = staged_run(staged_iters, acc)
+        wall = t() - t0
+        if best_wall is None or wall < best_wall:
+            best_wall, accs = wall, acc
+    for k in accs:
+        accs[k] = round(accs[k] / staged_iters, 2)
+    out["staged_loop"] = {
+        "images_per_sec": round(BATCH * staged_iters / best_wall, 2),
+        "wall_ms_per_batch16": round(best_wall / staged_iters * 1e3, 2),
+        "stages_ms_per_batch16": accs,
+        "accounted_ms": round(sum(accs.values()), 2),
+        "boxes_per_image": round(nb / (staged_iters * BATCH), 1),
     }
 
     # --- pipelined stream wall for the same batches ---
