@@ -39,6 +39,11 @@ def main(argv=None):
                              "###/short GT leave the precision denominator "
                              "(the reference harness penalizes them)")
     parser.add_argument("-scale_up", action="store_true")
+    parser.add_argument("-serve_hw", default=None, metavar="HxW",
+                        help="evaluate through the fixed-shape batched "
+                        "letterbox serving path (e.g. 704x1280) instead of "
+                        "the per-image native-size path — the accuracy leg "
+                        "of the serving resolution/throughput sweep")
     parser.add_argument("-split_words", action="store_true",
                         help="emit per-word split boxes as detections "
                              "(reference eval.py:579-601 process_splits path; "
@@ -63,11 +68,19 @@ def main(argv=None):
         if im is None:
             continue
         polys, tags, labels = load_annotation(path, im.shape)
-        results, im_resized = engine(im, scale_up=args.scale_up,
-                                     split_words=args.split_words)
-        # map GT into resized coordinates
-        sy = im_resized.shape[0] / im.shape[0]
-        sx = im_resized.shape[1] / im.shape[1]
+        if args.serve_hw:
+            # batched letterbox path: results come back in ORIGINAL image
+            # coordinates (batch_call maps through the letterbox scale)
+            hw = tuple(int(v) for v in args.serve_hw.lower().split("x"))
+            results = engine.batch_call([im], serve_hw=hw,
+                                        split_words=args.split_words)[0]
+            sy = sx = 1.0
+        else:
+            results, im_resized = engine(im, scale_up=args.scale_up,
+                                         split_words=args.split_words)
+            # map GT into resized coordinates
+            sy = im_resized.shape[0] / im.shape[0]
+            sx = im_resized.shape[1] / im.shape[1]
         gt_rect = (polys * np.array([sx, sy])).reshape(-1, 8) if len(polys) else np.zeros((0, 8))
         # the reference only emits detections whose transcription is at
         # least eval_text_length chars (eval.py:667-668,685): shorter reads

@@ -95,3 +95,36 @@ def test_forward_runs_with_imported_weights(variables):
         train=False,
     )
     assert np.isfinite(np.asarray(out["segm"][0])).all()
+
+
+def test_serving_params_roundtrip(variables, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from fots.checkpoint import load_serving_params, save_serving_params
+
+    path = str(tmp_path / "sv.npz")
+    save_serving_params(path, variables, step=77)
+    template = jax.tree_util.tree_map(jnp.zeros_like, dict(variables))
+    got, step = load_serving_params(path, template)
+    assert step == 77
+    for group in ("params", "batch_stats"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            variables[group], got[group])
+
+
+def test_serving_params_rejects_unknown_keys(variables, tmp_path):
+    import pytest as _pytest
+
+    from fots.checkpoint import load_serving_params, save_serving_params
+
+    path = str(tmp_path / "sv.npz")
+    save_serving_params(path, variables)
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    flat["params/not_a_real/kernel"] = np.zeros(3, np.float32)
+    np.savez(path, **flat)
+    with _pytest.raises(AssertionError, match="not in model"):
+        load_serving_params(path, dict(variables))
