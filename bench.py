@@ -447,8 +447,8 @@ def main():
     if imgs:
         # masked_norm=True: serve with the fine strip-bucket grid, matching
         # the shipped training default (fots/train.py masked_norm=True) — a
-        # production engine serves this config.  A/B on this harness:
-        # fine 101.4/99.4 img/s (best/median) vs coarse 100.6/96.4.
+        # production engine serves this config.  Fine-vs-coarse grid A/B:
+        # docs/PERFORMANCE.md "Measurement methodology".
         engine = FOTSInference(model, variables_f32, codec=codec,
                                mixed_precision=MIXED_PRECISION,
                                max_candidates=MAX_CANDIDATES,

@@ -26,6 +26,15 @@ Halos are fetched with manual async DMA from HBM (the input stays in
 ``ANY`` memory space); column padding is zeroed in VMEM scratch, so the
 SAME-padding semantics match ``lax.conv_general_dilated``.
 
+Channel constraint (measured on v5e, jax 0.9 Mosaic): HBM DMA slices must
+be 128-lane aligned — a C=64 tensor is 128-padded in the kernel's HBM
+view, so every DMA would move 2x the dense bytes and erase the traffic
+win.  The kernel therefore requires C % 128 == 0.  In this model that
+rules out layer1 (the 1/4-scale stage, C=64) and targets layer2 (the
+1/8-scale stage, C=128) — which moves MORE total bytes anyway: same
+57.7 MB per activation (16x88x160x128 vs 16x176x320x64 bf16) across 4
+blocks vs layer1's 3.
+
 The reference composes this block from separate CUDA kernels
 (tools/models.py:140-168 BasicBlockIn: conv2d -> InstanceNorm2d -> += ->
 relu_); there is no reference counterpart to the fusion itself.
@@ -88,26 +97,33 @@ def _kernel(x_hbm, w_ref, g_ref, b_ref, r_hbm, o_hbm,
     p = pl.program_id(1)
     s = pl.program_id(2)
     n_s = pl.num_programs(2)
-    w_full = xs.shape[1] - 2          # padded scratch is [ht+2, W+2, C]
+    # scratch is [ht+2, W+16, C]: data columns live at [8, 8+W) because a
+    # VMEM DMA destination offset must be 8-sublane-aligned (Mosaic
+    # rejects a +1 column offset); the conv taps read at 7+kx, an
+    # unaligned VALUE slice, which is legal (costs a vector shift, not a
+    # layout violation)
+    w_full = xs.shape[1] - 16
     cdim = xs.shape[2]
+    col0 = 8
 
     # ---- stage the x row tile (+1-row halo) into zero-padded VMEM ----
     # zero only the regions no DMA writes (avoids store/DMA races):
-    # the two padding columns always, the top/bottom halo rows at edges
-    xs[:, 0, :] = jnp.zeros((ht + 2, cdim), xs.dtype)
-    xs[:, w_full + 1, :] = jnp.zeros((ht + 2, cdim), xs.dtype)
+    # the padding column bands always, the top/bottom halo rows at edges
+    xs[:, 0:col0, :] = jnp.zeros((ht + 2, col0, cdim), xs.dtype)
+    xs[:, col0 + w_full:, :] = jnp.zeros((ht + 2, 8, cdim), xs.dtype)
 
     @pl.when(s == 0)
     def _():
-        xs[0, 1:w_full + 1, :] = jnp.zeros((w_full, cdim), xs.dtype)
+        xs[0, col0:col0 + w_full, :] = jnp.zeros((w_full, cdim), xs.dtype)
 
     @pl.when(s == n_s - 1)
     def _():
-        xs[ht + 1, 1:w_full + 1, :] = jnp.zeros((w_full, cdim), xs.dtype)
+        xs[ht + 1, col0:col0 + w_full, :] = jnp.zeros((w_full, cdim),
+                                                      xs.dtype)
 
     main = pltpu.make_async_copy(
         x_hbm.at[n, pl.ds(s * ht, ht), :, :],
-        xs.at[pl.ds(1, ht), pl.ds(1, w_full), :],
+        xs.at[pl.ds(1, ht), pl.ds(col0, w_full), :],
         sems.at[0])
     main.start()
 
@@ -115,7 +131,7 @@ def _kernel(x_hbm, w_ref, g_ref, b_ref, r_hbm, o_hbm,
     def _():
         top = pltpu.make_async_copy(
             x_hbm.at[n, pl.ds(s * ht - 1, 1), :, :],
-            xs.at[pl.ds(0, 1), pl.ds(1, w_full), :],
+            xs.at[pl.ds(0, 1), pl.ds(col0, w_full), :],
             sems.at[1])
         top.start()
         top.wait()
@@ -124,7 +140,7 @@ def _kernel(x_hbm, w_ref, g_ref, b_ref, r_hbm, o_hbm,
     def _():
         bot = pltpu.make_async_copy(
             x_hbm.at[n, pl.ds(s * ht + ht, 1), :, :],
-            xs.at[pl.ds(ht + 1, 1), pl.ds(1, w_full), :],
+            xs.at[pl.ds(ht + 1, 1), pl.ds(col0, w_full), :],
             sems.at[2])
         bot.start()
         bot.wait()
@@ -135,7 +151,7 @@ def _kernel(x_hbm, w_ref, g_ref, b_ref, r_hbm, o_hbm,
     acc = jnp.zeros((ht, w_full, cdim), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            sl = xs[ky:ky + ht, kx:kx + w_full, :]
+            sl = xs[ky:ky + ht, col0 - 1 + kx:col0 - 1 + kx + w_full, :]
             acc = acc + jax.lax.dot_general(
                 sl, w_ref[ky, kx],
                 (((2,), (0,)), ((), ())),
@@ -191,6 +207,11 @@ def _conv_in_act_pallas(x, w, scale, bias, residual, eps, negative_slope,
     b, h, wd, c = x.shape
     ht = _pick_row_tile(h)
     assert ht > 0, f"h={h} has no 8-multiple divisor <= 32"
+    assert interpret or c % 128 == 0, (
+        f"C={c}: Mosaic HBM DMA slices must be 128-lane aligned; a "
+        "narrower channel dim is 128-padded in the kernel's HBM view and "
+        "the padded DMAs erase the fusion's traffic win (see module "
+        "docstring) — use the XLA composition instead")
     has_res = residual is not None
     kernel = functools.partial(
         _kernel, ht=ht, eps=eps, slope=negative_slope,
@@ -211,7 +232,7 @@ def _conv_in_act_pallas(x, w, scale, bias, residual, eps, negative_slope,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),    # out (manual DMA)
         scratch_shapes=[
-            pltpu.VMEM((ht + 2, wd + 2, c), x.dtype),      # padded x tile
+            pltpu.VMEM((ht + 2, wd + 16, c), x.dtype),     # padded x tile
             pltpu.VMEM((ht, wd, c), x.dtype),              # residual tile
             pltpu.VMEM((ht, wd, c), x.dtype),              # out tile
             pltpu.VMEM((2, c), jnp.float32),               # sum / sumsq
@@ -231,7 +252,7 @@ def fused_conv3x3_in_act(x, w, scale, bias, residual, eps=1e-5,
     negative_slope None = ReLU, else leaky.  Backward runs the XLA
     composition's autodiff on the saved inputs.
     """
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or x.shape[-1] % 128 != 0:
         return conv_in_act_reference(x, w, scale, bias, residual, eps,
                                      negative_slope)
     return _conv_in_act_pallas(x, w, scale, bias, residual, eps,

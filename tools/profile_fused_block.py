@@ -3,8 +3,11 @@ composition on the REAL chip, at the widest 1/4-scale stage's serve shape.
 
 This is VERDICT r3 item 7: the HBM-wall memo rules out residual-block
 fusion — this makes that a measurement instead of a claim.  Target
-shape: layer1 BasicBlockIn tail at the bench serve config
-(16 x 176 x 320 x 64 bf16, fots/models/detector.py layer1).
+shape: layer2 BasicBlockIn tail at the bench serve config
+(16 x 88 x 160 x 128 bf16, fots/models/detector.py layer2 — the 1/8-scale
+stage; the 1/4-scale stage's C=64 violates Mosaic's 128-lane HBM DMA
+alignment, see fots/ops/fused_block.py docstring, and layer2 moves more
+total bytes anyway: 4 blocks at the same 57.7 MB/activation).
 
 Each variant is timed as K chained iterations inside ONE jitted program
 (output fed back as input), so tunnel dispatch latency (~30 ms RTT)
@@ -36,7 +39,7 @@ def main():
     iters = 10
     if "--iters" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
-    shape = (16, 176, 320, 64)
+    shape = (16, 88, 160, 128)
     if "--shape" in sys.argv:
         shape = tuple(
             int(v) for v in sys.argv[sys.argv.index("--shape") + 1].split(","))
