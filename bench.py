@@ -474,11 +474,16 @@ def main():
             extra["staged_real"] = staged
         except Exception as e:
             extra["staged_real_error"] = repr(e)
-        try:
-            extra["tunnel_e2e"] = _bench_tunnel(
-                engine, model, variables_f32, codec, imgs, bias)
-        except Exception as e:
-            extra["tunnel_e2e_error"] = repr(e)
+        # one retry: the shared tunnel's remote-compile endpoint drops a
+        # request every so often (transient HTTP body-closed errors)
+        for attempt in (1, 2):
+            try:
+                extra["tunnel_e2e"] = _bench_tunnel(
+                    engine, model, variables_f32, codec, imgs, bias)
+                extra.pop("tunnel_e2e_error", None)
+                break
+            except Exception as e:
+                extra["tunnel_e2e_error"] = repr(e)
         # boxes/image the engine ACTUALLY emits on these images (uncapped
         # path, single-image API) — round-2's broken stat, fixed
         try:
