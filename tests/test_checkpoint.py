@@ -128,3 +128,28 @@ def test_serving_params_rejects_unknown_keys(variables, tmp_path):
     np.savez(path, **flat)
     with _pytest.raises(AssertionError, match="not in model"):
         load_serving_params(path, dict(variables))
+
+
+def test_committed_serving_snapshot_loads_onto_current_model():
+    """The shipped trained snapshot (artifacts/serving_params.npz — what
+    bench.py and the profilers serve) must stay loadable onto the CURRENT
+    model architecture: every leaf present, every shape equal.  Catches
+    silent drift between the committed weights and detector.py."""
+    import os
+
+    from fots.checkpoint import load_serving_params
+    from fots.codec import LabelCodec
+
+    npz = os.path.join(os.path.dirname(__file__), "..",
+                       "artifacts", "serving_params.npz")
+    if not os.path.exists(npz):
+        pytest.skip("no committed serving snapshot")
+    codec = LabelCodec()
+    model = FOTSDetector(nclass=codec.num_classes)
+    template = init_detector(model, jax.random.PRNGKey(0))
+    got, step = load_serving_params(npz, template)
+    assert isinstance(step, int) and step > 0
+    # a couple of spot leaves actually changed from the random template
+    k0 = np.asarray(template["params"]["act"]["kernel"])
+    k1 = np.asarray(got["params"]["act"]["kernel"])
+    assert k0.shape == k1.shape and not np.allclose(k0, k1)
