@@ -34,7 +34,8 @@ def save_checkpoint(ckpt_dir: str, state, step: int):
 
 
 def save_serving_params(path: str, variables: Dict[str, Any],
-                        step: Optional[int] = None) -> str:
+                        step: Optional[int] = None,
+                        config: Optional[Dict[str, Any]] = None) -> str:
     """Save a serving-only weight snapshot ({params, batch_stats}) as one
     compressed .npz — small enough (~19 MB f32 for the 4.8M-param FOTS
     detector) to commit, unlike a full orbax TrainState (3x with Adam
@@ -52,9 +53,26 @@ def save_serving_params(path: str, variables: Dict[str, Any],
             flat[key] = np.asarray(leaf)
     if step is not None:
         flat["__step__"] = np.asarray(step)
+    if config is not None:
+        import json
+
+        # serving-relevant train config (e.g. masked_norm), the snapshot's
+        # analog of the train_config.json sidecar next to orbax checkpoints
+        flat["__config__"] = np.asarray(json.dumps(config))
     with open(path, "wb") as f:
         np.savez_compressed(f, **flat)
     return path
+
+
+def load_serving_config(path: str) -> Dict[str, Any]:
+    """Read the embedded serving config of a snapshot written by
+    :func:`save_serving_params` ({} for snapshots without one)."""
+    import json
+
+    with np.load(path) as z:
+        if "__config__" not in z.files:
+            return {}
+        return json.loads(str(z["__config__"]))
 
 
 def load_serving_params(path: str, variables: Dict[str, Any]):
@@ -65,6 +83,7 @@ def load_serving_params(path: str, variables: Dict[str, Any]):
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     step = int(flat.pop("__step__")) if "__step__" in flat else None
+    flat.pop("__config__", None)  # read via load_serving_config
     used = set()
 
     def _replace(group):

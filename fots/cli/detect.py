@@ -39,6 +39,16 @@ def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
         variables, imported, skipped = import_torch_state_dict(sd, dict(variables))
         print(f"imported {len(imported)} tensors from {h5_path} "
               f"({len(skipped)} skipped)")
+    elif model_path and model_path.endswith(".npz"):
+        # committed serving snapshot (tools/export_serving_params.py) —
+        # the in-repo analog of the reference's published .h5 weights
+        from fots.checkpoint import load_serving_config, load_serving_params
+
+        variables, step = load_serving_params(model_path, dict(variables))
+        print(f"loaded serving snapshot {model_path} (step {step})")
+        if masked_norm is None:
+            masked_norm = load_serving_config(model_path).get(
+                "masked_norm", False)
     elif model_path:
         from fots.train import Trainer
 

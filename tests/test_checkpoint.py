@@ -153,3 +153,36 @@ def test_committed_serving_snapshot_loads_onto_current_model():
     k0 = np.asarray(template["params"]["act"]["kernel"])
     k1 = np.asarray(got["params"]["act"]["kernel"])
     assert k0.shape == k1.shape and not np.allclose(k0, k1)
+
+
+def test_serving_params_config_roundtrip(variables, tmp_path):
+    from fots.checkpoint import (load_serving_config, load_serving_params,
+                                 save_serving_params)
+
+    path = str(tmp_path / "sv.npz")
+    save_serving_params(path, variables, step=3,
+                        config={"masked_norm": True})
+    assert load_serving_config(path) == {"masked_norm": True}
+    # __config__ must not trip the every-key-accounted check
+    got, step = load_serving_params(path, dict(variables))
+    assert step == 3
+    # snapshots without a config read as {}
+    path2 = str(tmp_path / "sv2.npz")
+    save_serving_params(path2, variables)
+    assert load_serving_config(path2) == {}
+
+
+def test_load_engine_accepts_npz_snapshot(variables, tmp_path):
+    """`-model snapshot.npz` on the CLIs: weights load, masked_norm is
+    picked up from the embedded config (the published-.h5 analog)."""
+    from fots.checkpoint import save_serving_params
+    from fots.cli.detect import load_engine
+
+    path = str(tmp_path / "sv.npz")
+    save_serving_params(path, variables, step=5,
+                        config={"masked_norm": True})
+    engine = load_engine(model_path=path)
+    assert engine.masked_norm is True
+    k0 = np.asarray(variables["params"]["act"]["kernel"])
+    k1 = np.asarray(engine.variables["params"]["act"]["kernel"])
+    assert np.array_equal(k0, k1)

@@ -25,6 +25,9 @@ def main():
     from fots.models import FOTSDetector
     from fots.train import Trainer
 
+    import json
+    import os
+
     ckpt_dir = sys.argv[1]
     out = sys.argv[2] if len(sys.argv) > 2 else "artifacts/serving_params.npz"
     path = latest_checkpoint(ckpt_dir) or ckpt_dir
@@ -32,11 +35,20 @@ def main():
     trainer = Trainer(model=FOTSDetector(nclass=codec.num_classes),
                       codec=codec)
     state, step = restore_checkpoint(path, trainer.state)
+    # embed the serving-relevant train config (train_joint's sidecar) so
+    # `-model snapshot.npz` picks masked_norm etc. automatically
+    config = {}
+    for d in (ckpt_dir, os.path.dirname(os.path.abspath(path))):
+        cfg = os.path.join(d, "train_config.json")
+        if os.path.exists(cfg):
+            with open(cfg) as f:
+                config = json.load(f)
+            break
     save_serving_params(
         out,
         {"params": state.params, "batch_stats": state.batch_stats},
-        step=step)
-    print(f"wrote {out} from {path} (step {step})")
+        step=step, config=config)
+    print(f"wrote {out} from {path} (step {step}, config {config})")
 
 
 if __name__ == "__main__":
