@@ -27,6 +27,14 @@ python -m fots.cli.eval_e2e -model "$CKPT" \
   -out_json artifacts/synthbig_trainset_metrics.json \
   | tail -3 >> artifacts/synthbig_stdout.txt
 
+# held-out through the production serving path (704x1280 letterbox — the
+# bench headline config; upscales these 640x960 scenes ~1.1x, which the
+# recognizer measurably prefers: see artifacts/serving_sweep.json)
+python -m fots.cli.eval_e2e -model "$CKPT" -serve_hw 704x1280 \
+  -images_list data/synth_big_eval.txt \
+  -out_json artifacts/synthbig_heldout_metrics_serve704.json \
+  | tail -3 >> artifacts/synthbig_stdout.txt
+
 # overlays on the held-out scenes for visual inspection
 EVAL_DIR=$(mktemp -d)
 while read -r im; do cp "$im" "$EVAL_DIR/"; done < data/synth_big_eval.txt
