@@ -484,6 +484,7 @@ def main():
                 break
             except Exception as e:
                 extra["tunnel_e2e_error"] = repr(e)
+                time.sleep(5)  # transient tunnel blips need a pause
         # boxes/image the engine ACTUALLY emits on these images (uncapped
         # path, single-image API) — round-2's broken stat, fixed
         try:

@@ -75,15 +75,22 @@ def load_serving_config(path: str) -> Dict[str, Any]:
         return json.loads(str(z["__config__"]))
 
 
-def load_serving_params(path: str, variables: Dict[str, Any]):
+def load_serving_params(path: str, variables: Dict[str, Any],
+                        with_config: bool = False):
     """Inverse of :func:`save_serving_params`: returns (variables with
-    every leaf replaced from the .npz, step-or-None).  Every template leaf
-    must be present in the file and vice versa (same every-key-accounted
-    policy as the torch importer)."""
+    every leaf replaced from the .npz, step-or-None) — plus the embedded
+    config dict as a third element when ``with_config`` is set (same
+    single read of the archive; cheaper than a follow-up
+    :func:`load_serving_config` on the ~25 MB compressed file).  Every
+    template leaf must be present in the file and vice versa (same
+    every-key-accounted policy as the torch importer)."""
+    import json
+
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     step = int(flat.pop("__step__")) if "__step__" in flat else None
-    flat.pop("__config__", None)  # read via load_serving_config
+    cfg_arr = flat.pop("__config__", None)
+    config = json.loads(str(cfg_arr)) if cfg_arr is not None else {}
     used = set()
 
     def _replace(group):
@@ -102,6 +109,8 @@ def load_serving_params(path: str, variables: Dict[str, Any]):
             _replace(group), variables[group])
     unused = set(flat) - used
     assert not unused, f"checkpoint keys not in model: {sorted(unused)[:8]}"
+    if with_config:
+        return out, step, config
     return out, step
 
 

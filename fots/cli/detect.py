@@ -23,7 +23,10 @@ def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
                 mixed_precision=False, n_data=None, n_model=1,
                 expand_w_frac=0.0, masked_norm=None, beam=0):
     """masked_norm None = auto: read save_path/train_config.json written by
-    fots.cli.train_joint next to the checkpoint."""
+    fots.cli.train_joint next to the checkpoint, or — for a `.npz` serving
+    snapshot — the config embedded in the archive by
+    tools/export_serving_params.py (one read serves both weights and
+    config)."""
     import jax
 
     from fots.checkpoint import (import_torch_state_dict, latest_checkpoint,
@@ -39,16 +42,17 @@ def load_engine(model_path=None, h5_path=None, nclass=87, segm_thresh=0.5,
         variables, imported, skipped = import_torch_state_dict(sd, dict(variables))
         print(f"imported {len(imported)} tensors from {h5_path} "
               f"({len(skipped)} skipped)")
-    elif model_path and model_path.endswith(".npz"):
+    elif (model_path and model_path.endswith(".npz")
+          and os.path.isfile(model_path)):
         # committed serving snapshot (tools/export_serving_params.py) —
         # the in-repo analog of the reference's published .h5 weights
-        from fots.checkpoint import load_serving_config, load_serving_params
+        from fots.checkpoint import load_serving_params
 
-        variables, step = load_serving_params(model_path, dict(variables))
+        variables, step, snap_cfg = load_serving_params(
+            model_path, dict(variables), with_config=True)
         print(f"loaded serving snapshot {model_path} (step {step})")
         if masked_norm is None:
-            masked_norm = load_serving_config(model_path).get(
-                "masked_norm", False)
+            masked_norm = snap_cfg.get("masked_norm", False)
     elif model_path:
         from fots.train import Trainer
 

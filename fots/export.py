@@ -120,7 +120,9 @@ def export_serving(engine, out_dir: str, batch: int, height: int, width: int,
         var_spec, img_spec)
     with open(os.path.join(out_dir, "detect.shlo"), "wb") as f:
         f.write(exp.serialize())
-    # out avals: (candidates [B,8,k], focr [B,H/4,W/4,C])
+    # out avals: (candidates [B,8,k], packed focr quads [B*H/4*W/4, 4C] —
+    # pre-packed for the recognition gathers, see
+    # fots.ops.rroi_align.pack_neighbors)
     cands_aval, focr_aval = exp.out_avals
     programs = {"detect": {
         "file": "detect.shlo",
@@ -131,9 +133,10 @@ def export_serving(engine, out_dir: str, batch: int, height: int, width: int,
 
     focr_spec = jax.ShapeDtypeStruct(focr_aval.shape, focr_aval.dtype)
     rois_spec = jax.ShapeDtypeStruct((roi_pad, 6), np.float32)
+    fshape = (batch, height // 4, width // 4, focr_aval.shape[1] // 4)
     for w in engine.strip_buckets:
         rexp = jexport.export(engine._recognize, platforms=list(platforms))(
-            var_spec, focr_spec, rois_spec, width=w)
+            var_spec, focr_spec, rois_spec, width=w, fshape=fshape)
         fname = f"recognize_{w}.shlo"
         with open(os.path.join(out_dir, fname), "wb") as f:
             f.write(rexp.serialize())

@@ -224,13 +224,13 @@ def _conv_in_act_pallas(x, w, scale, bias, residual, eps, negative_slope,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, 2, h // ht),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # x (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),          # x (manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),         # w [3,3,C,C]
             pl.BlockSpec(memory_space=pltpu.VMEM),         # scale [1,C]
             pl.BlockSpec(memory_space=pltpu.VMEM),         # bias [1,C]
-            pl.BlockSpec(memory_space=pltpu.ANY),          # residual
+            pl.BlockSpec(memory_space=pl.ANY),          # residual
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),    # out (manual DMA)
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),    # out (manual DMA)
         scratch_shapes=[
             pltpu.VMEM((ht + 2, wd + 16, c), x.dtype),     # padded x tile
             pltpu.VMEM((ht, wd, c), x.dtype),              # residual tile

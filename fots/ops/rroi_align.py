@@ -96,6 +96,29 @@ def _sample_centers(rois, pooled_height, pooled_width, spatial_scale, height, wi
     return bin_cx, bin_cy, valid
 
 
+def pack_neighbors(features):
+    """Pre-pack every 2x2 bilinear-neighbor tile of a feature map into one
+    4C-wide row: ``quads[b*H*W + y*W + x] = [f[y,x], f[y,x+1], f[y+1,x],
+    f[y+1,x+1]]`` (dense concats, bandwidth-cheap).
+
+    TPU gathers cost ~35 cycles/row regardless of row width, so fetching
+    the 4 neighbors as ONE take of a 4C row beats 4 takes of C rows
+    (~1.5x at serving shapes on v5e).  The pack itself reads/writes the
+    whole map (~4x the map's bytes) — so when several recognition
+    programs crop the same features (one per strip-width bucket), build
+    the packed map ONCE inside the detection program and pass it to every
+    bucket program via :func:`rroi_align_packed` instead of letting each
+    one rebuild it (the round-4 profile showed the per-bucket rebuild
+    dominating recognition device time at fine-bucket loads).
+    """
+    b_count, height, width, channels = features.shape
+    flat = features.reshape(b_count * height * width, channels)
+    right = jnp.concatenate([flat[1:], flat[:1]], axis=0)
+    pairs = jnp.concatenate([flat, right], axis=1)               # [BHW, 2C]
+    below = jnp.concatenate([pairs[width:], pairs[:width]], axis=0)
+    return jnp.concatenate([pairs, below], axis=1)               # [BHW, 4C]
+
+
 @functools.partial(
     jax.jit, static_argnames=("pooled_height", "pooled_width", "spatial_scale")
 )
@@ -114,7 +137,19 @@ def rroi_align(features, rois, pooled_height: int, pooled_width: int, spatial_sc
       ``[N, pooled_height, pooled_width, C]`` strips; columns beyond each
       roi's aspect-preserving width are zero.
     """
-    b_count, height, width, channels = features.shape
+    return rroi_align_packed(pack_neighbors(features), features.shape, rois,
+                             pooled_height, pooled_width, spatial_scale)
+
+
+def rroi_align_packed(quads, feature_shape, rois, pooled_height: int,
+                      pooled_width: int, spatial_scale: float = 1.0):
+    """:func:`rroi_align` over a map pre-packed by :func:`pack_neighbors`.
+
+    Args:
+      quads: ``[B*H*W, 4C]`` packed neighbor rows.
+      feature_shape: the original ``(B, H, W, C)`` (static).
+    """
+    b_count, height, width, channels = feature_shape
     # coordinate math stays in f32 even for bf16 features: bf16 has ~3
     # significant digits, far too coarse for pixel coordinates
     rois = rois.astype(jnp.float32)
@@ -131,17 +166,8 @@ def rroi_align(features, rois, pooled_height: int, pooled_width: int, spatial_sc
     xi = x0.astype(jnp.int32)
     yi = y0.astype(jnp.int32)
 
-    # TPU gathers are the cost here (~35 cycles/row): instead of 4 takes of
-    # C-wide rows (one per bilinear neighbor), pre-pack every 2x2 neighbor
-    # tile into one 4C-wide row with dense concats (bandwidth-cheap) and do
-    # ONE take.  Measured ~1.5x faster at serving shapes on v5e.
     xs = jnp.clip(xi, 0, width - 2)
     ys = jnp.clip(yi, 0, height - 2)
-    flat = features.reshape(b_count * height * width, channels)
-    right = jnp.concatenate([flat[1:], flat[:1]], axis=0)
-    pairs = jnp.concatenate([flat, right], axis=1)               # [BHW, 2C]
-    below = jnp.concatenate([pairs[width:], pairs[:width]], axis=0)
-    quads = jnp.concatenate([pairs, below], axis=1)              # [BHW, 4C]
 
     def tile_weights(orig, start, frac, lim):
         """Weights per tile position.  The original neighbor j (at orig+j)
@@ -163,7 +189,7 @@ def rroi_align(features, rois, pooled_height: int, pooled_width: int, spatial_sc
     idx = (bidx * height + ys) * width + xs
     g = jnp.take(quads, idx.reshape(-1), axis=0).reshape(
         idx.shape + (2, 2, channels))
-    wdt = features.dtype
+    wdt = quads.dtype
     out = (
         g[..., 0, 0, :] * (wy0 * wx0)[..., None].astype(wdt)
         + g[..., 0, 1, :] * (wy0 * wx1)[..., None].astype(wdt)

@@ -33,7 +33,7 @@ from fots.geometry import (TARGET_H, resize_to_multiple_of_32, rroi_from_box,
 from fots.models import FOTSDetector
 from fots.ops.nms import (extract_candidates, get_boxes_from_candidates,
                           get_boxes_from_candidates_batch)
-from fots.ops.rroi_align import rroi_align
+from fots.ops.rroi_align import pack_neighbors, rroi_align, rroi_align_packed
 
 # Strip-width buckets for serving.  MUST match the training bucket grid
 # (fots/roirotate.py TRAIN_STRIP_BUCKETS): the recognition head's
@@ -62,6 +62,22 @@ class _RawBatch(NamedTuple):
 
     images: np.ndarray
     serve_hw: Tuple[int, int]
+
+
+class PackedFocr(NamedTuple):
+    """Shared OCR features pre-packed for RoIRotate gathers.
+
+    The detection program emits the focr map already packed by
+    :func:`fots.ops.rroi_align.pack_neighbors` (``quads`` [B*H*W, 4C]),
+    so every strip-width bucket's recognition program does one sparse
+    take instead of rebuilding the dense packed map — the round-4
+    profile showed that per-bucket rebuild (~4x the focr bytes, per
+    bucket, per batch) dominating recognition device time.  ``shape`` is
+    the original (B, H, W, C), a static arg of the crop programs.
+    """
+
+    quads: object  # jax device array [B*H*W, 4C]
+    shape: Tuple[int, int, int, int]
 
 
 def device_letterbox_batch(raw, serve_hw):
@@ -245,7 +261,9 @@ class FOTSInference:
                 out["rbox"][0].astype(jnp.float32),
                 out["angle"][0].astype(jnp.float32),
                 self.max_candidates, segm_thresh)
-            return cands, out["focr"]
+            # pack focr for the recognition gathers HERE, once per batch
+            # (see PackedFocr); callers wrap the raw quads in a PackedFocr
+            return cands, pack_neighbors(out["focr"])
 
         @jax.jit
         def _forward_sparse(variables, images):
@@ -294,9 +312,17 @@ class FOTSInference:
             num = jnp.sum(jnp.exp(logp_max.astype(jnp.float32)) * mask, axis=-1)
             return num / jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
 
-        @functools.partial(jax.jit, static_argnames=("width",))
-        def _recognize(variables, focr, rois, width: int):
-            strips = rroi_align(focr, rois, TARGET_H, width, 0.25)
+        def _crop_strips(feat, rois, width: int, fshape):
+            """RoIRotate from either a raw focr map (``fshape`` None) or a
+            pre-packed quads array + its static source shape."""
+            if fshape is None:
+                return rroi_align(feat, rois, TARGET_H, width, 0.25)
+            return rroi_align_packed(feat, fshape, rois, TARGET_H, width,
+                                     0.25)
+
+        @functools.partial(jax.jit, static_argnames=("width", "fshape"))
+        def _recognize(variables, feat, rois, width: int, fshape=None):
+            strips = _crop_strips(feat, rois, width, fshape)
             valid_w = None
             if masked_norm:
                 aspect = rois[:, 4] / jnp.maximum(rois[:, 3], 1e-6)
@@ -308,12 +334,12 @@ class FOTSInference:
             conf = _box_conf(ids, jnp.max(logp, axis=-1), self._char_id_start)
             return ids, conf
 
-        @functools.partial(jax.jit, static_argnames=("width",))
-        def _recognize_topk(variables, focr, rois, width: int):
+        @functools.partial(jax.jit, static_argnames=("width", "fshape"))
+        def _recognize_topk(variables, feat, rois, width: int, fshape=None):
             """Beam-decode variant: also ship each frame's top-k symbol
             log-probs + the blank log-prob (tens of floats/frame instead of
             the full nclass row) for the host prefix beam search."""
-            strips = rroi_align(focr, rois, TARGET_H, width, 0.25)
+            strips = _crop_strips(feat, rois, width, fshape)
             valid_w = None
             if masked_norm:
                 aspect = rois[:, 4] / jnp.maximum(rois[:, 3], 1e-6)
@@ -382,6 +408,40 @@ class FOTSInference:
             pad = np.tile(np.asarray(self._DUMMY_ROI, np.float32), (m - n, 1))
             rois_np = np.concatenate([rois_np, pad], axis=0)
         return self._put_batch(rois_np)
+
+    #: target strip columns (rois x bucket width) per recognition program
+    #: invocation — sets the fixed per-width roi chunk size
+    CHUNK_FRAME_BUDGET = 2048
+
+    def _roi_chunk(self, width: int) -> int:
+        """Fixed roi count per recognition program at this strip width.
+
+        Each width bucket compiles exactly ONE program shape; bucket loads
+        are served by repeated invocations with the final chunk padded by
+        dummy rois.  vs the earlier power-of-two roi-count grid this cuts
+        both worst-case padding waste (<= chunk-1 dummy rois per bucket,
+        instead of up to 2x the whole load) and compiled-program count
+        (1 per width instead of log2(max rois) per width).  The frame
+        budget keeps per-invocation compute roughly even across widths —
+        wide rois are rarer but each costs proportionally more.
+        """
+        c = max(1, self.CHUNK_FRAME_BUDGET // max(width, 1))
+        c = 1 << (c.bit_length() - 1)  # round down to a power of two
+        return self._pad_to_shards(max(4, min(64, c)))
+
+    def _roi_chunks(self, rois_np: np.ndarray, idxs, width: int):
+        """Yield (idx_chunk, device_rois) pieces of one width bucket's
+        rois, each padded to the fixed per-width chunk size."""
+        csize = self._roi_chunk(width)
+        idxs = list(idxs)
+        for start in range(0, len(idxs), csize):
+            chunk = idxs[start:start + csize]
+            sel = rois_np[np.asarray(chunk)]
+            if len(chunk) < csize:
+                pad = np.tile(np.asarray(self._DUMMY_ROI, np.float32),
+                              (csize - len(chunk), 1))
+                sel = np.concatenate([sel, pad], axis=0)
+            yield chunk, self._put_batch(sel)
 
     # -------- detection --------
 
@@ -464,36 +524,48 @@ class FOTSInference:
         texts = [""] * n
         ids_out: List[Optional[np.ndarray]] = [None] * n
         confs = np.zeros((n,), np.float32)
+        feat, fshape = self._feat_args(focr)
         for width, idxs in sorted(buckets.items()):
-            sel = self._put_rois(rois[np.asarray(idxs)])
-            beams = None
             if images_norm is not None:
+                # raw-image path: per-batch roi pad (pow2 grid) — the crop
+                # reads the image, not the shared packed focr
+                sel = self._put_rois(rois[np.asarray(idxs)])
                 ids, conf = self._recognize_from_image(
                     self.variables, jnp.asarray(images_norm), sel, width * 4)
-            elif self.beam > 0:
-                ids, conf, top_lp, top_ids, blank_lp = self._recognize_topk(
-                    self.variables, focr, sel, width)
-                beams = (np.asarray(top_lp), np.asarray(top_ids),
-                         np.asarray(blank_lp))
+                pieces = [(idxs, ids, conf, None)]
             else:
-                ids, conf = self._recognize(self.variables, focr, sel, width)
-            ids = np.asarray(ids)[: len(idxs)]
-            conf = np.asarray(conf)[: len(idxs)]
-            decoded = self.codec.decode_batch(ids)
-            if beams is not None:
-                from fots.ops.ctc_decode import prefix_beam_search_topk
+                pieces = []
+                for chunk, sel in self._roi_chunks(rois, idxs, width):
+                    if self.beam > 0:
+                        ids, conf, top_lp, top_ids, blank_lp = \
+                            self._recognize_topk(self.variables, feat, sel,
+                                                 width, fshape)
+                        beams = (np.asarray(top_lp), np.asarray(top_ids),
+                                 np.asarray(blank_lp))
+                    else:
+                        ids, conf = self._recognize(self.variables, feat,
+                                                    sel, width, fshape)
+                        beams = None
+                    pieces.append((chunk, ids, conf, beams))
+            for idx_chunk, ids, conf, beams in pieces:
+                ids = np.asarray(ids)[: len(idx_chunk)]
+                conf = np.asarray(conf)[: len(idx_chunk)]
+                decoded = self.codec.decode_batch(ids)
+                if beams is not None:
+                    from fots.ops.ctc_decode import prefix_beam_search_topk
 
-                top_lp, top_ids, blank_lp = beams
-                for j in range(len(idxs)):
-                    hyp = prefix_beam_search_topk(
-                        top_ids[j], top_lp[j], blank_lp[j],
-                        beam_width=self.beam)
-                    if hyp:
-                        decoded[j] = self.codec.decode_ids(hyp[0][0], raw=True)
-            for j, i in enumerate(idxs):
-                texts[i] = decoded[j]
-                ids_out[i] = ids[j]
-                confs[i] = conf[j]
+                    top_lp, top_ids, blank_lp = beams
+                    for j in range(len(idx_chunk)):
+                        hyp = prefix_beam_search_topk(
+                            top_ids[j], top_lp[j], blank_lp[j],
+                            beam_width=self.beam)
+                        if hyp:
+                            decoded[j] = self.codec.decode_ids(hyp[0][0],
+                                                               raw=True)
+                for j, i in enumerate(idx_chunk):
+                    texts[i] = decoded[j]
+                    ids_out[i] = ids[j]
+                    confs[i] = conf[j]
         return (texts, ids_out, confs) if return_ids else texts
 
     # -------- batched serving --------
@@ -561,8 +633,8 @@ class FOTSInference:
 
     def _dispatch_detect(self, batch):
         """Dispatch the sparse detection program; returns device handles
-        (cands_dev, focr) without synchronizing.  ``batch`` is a [B,H,W,3]
-        array (u8/f32 transport), a (Y, UV) pair (yuv420), or a
+        (cands_dev, packed_focr) without synchronizing.  ``batch`` is a
+        [B,H,W,3] array (u8/f32 transport), a (Y, UV) pair (yuv420), or a
         :class:`_RawBatch` (device letterbox)."""
         if isinstance(batch, _RawBatch):
             raw, serve_hw = batch.images, batch.serve_hw
@@ -573,7 +645,8 @@ class FOTSInference:
                     [raw, np.zeros((m - n,) + raw.shape[1:], raw.dtype)],
                     axis=0)
             prog = self._raw_letterbox_program(raw.shape[1:3], serve_hw)
-            return prog(self.variables, self._put_batch(raw))
+            cands, quads = prog(self.variables, self._put_batch(raw))
+            return cands, self._wrap_focr(quads, m, serve_hw)
         if isinstance(batch, tuple):
             y, uv = batch
             n = y.shape[0]
@@ -584,8 +657,9 @@ class FOTSInference:
                 uv = np.concatenate(
                     [uv, np.full((m - n,) + uv.shape[1:], 128, uv.dtype)],
                     axis=0)
-            return self._forward_sparse_yuv(
+            cands, quads = self._forward_sparse_yuv(
                 self.variables, self._put_batch(y), self._put_batch(uv))
+            return cands, self._wrap_focr(quads, m, y.shape[1:3])
         images_norm = batch
         n = images_norm.shape[0]
         m = self._pad_to_shards(n)
@@ -593,7 +667,24 @@ class FOTSInference:
             images_norm = np.concatenate(
                 [images_norm, np.zeros((m - n,) + images_norm.shape[1:],
                                        images_norm.dtype)], axis=0)
-        return self._forward_sparse(self.variables, self._put_batch(images_norm))
+        cands, quads = self._forward_sparse(
+            self.variables, self._put_batch(images_norm))
+        return cands, self._wrap_focr(quads, m, images_norm.shape[1:3])
+
+    @staticmethod
+    def _wrap_focr(quads, batch: int, serve_hw) -> PackedFocr:
+        """Pair the detection program's packed quads with the static focr
+        shape (B, H/4, W/4, C) the crop programs need."""
+        return PackedFocr(quads, (batch, serve_hw[0] // 4, serve_hw[1] // 4,
+                                  quads.shape[1] // 4))
+
+    @staticmethod
+    def _feat_args(focr):
+        """(feat, fshape) args of the _recognize programs for either a
+        :class:`PackedFocr` or a raw [B,H,W,C] focr map."""
+        if isinstance(focr, PackedFocr):
+            return focr.quads, focr.shape
+        return focr, None
 
     def batch_call(self, images_bgr: List[np.ndarray], serve_hw: Tuple[int, int] = (704, 1280),
                    split_words: bool = False):
@@ -632,16 +723,17 @@ class FOTSInference:
         jobs = []
         if all_rois:
             rois_arr = np.asarray(all_rois, np.float32)
+            feat, fshape = self._feat_args(focr)
             for width, idxs in sorted(buckets.items()):
-                sel = self._put_rois(rois_arr[np.asarray(idxs)])
-                ids_dev, conf_dev = self._recognize(
-                    self.variables, focr, sel, width)
-                try:
-                    ids_dev.copy_to_host_async()
-                    conf_dev.copy_to_host_async()
-                except AttributeError:
-                    pass
-                jobs.append((idxs, ids_dev, conf_dev))
+                for chunk, sel in self._roi_chunks(rois_arr, idxs, width):
+                    ids_dev, conf_dev = self._recognize(
+                        self.variables, feat, sel, width, fshape)
+                    try:
+                        ids_dev.copy_to_host_async()
+                        conf_dev.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    jobs.append((chunk, ids_dev, conf_dev))
         return all_keys, jobs
 
     def _recognize_finish(self, n, per_image_boxes, all_keys, jobs, scales,

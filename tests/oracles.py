@@ -90,7 +90,10 @@ def generate_rbox_oracle(im_shape, polys, tags, labels):
     labels_out, gt_out = [], []
 
     def point_dist_to_line(p1, p2, p3):
-        cross = np.linalg.norm(np.cross(p2 - p1, p1 - p3))
+        # 2-D cross product magnitude (np.cross on 2-vectors is removed
+        # in NumPy 2.x; this is the explicit z-component)
+        a, b = p2 - p1, p1 - p3
+        cross = abs(a[0] * b[1] - a[1] * b[0])
         norm = np.linalg.norm(p2 - p1)
         return cross / norm if norm > 0.5 else cross
 

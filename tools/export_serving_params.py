@@ -44,6 +44,13 @@ def main():
             with open(cfg) as f:
                 config = json.load(f)
             break
+    else:
+        # An empty embedded config makes `-model snapshot.npz` resolve
+        # masked_norm=False at load time — silently wrong for a
+        # masked-norm-trained checkpoint whose sidecar was moved/stripped.
+        print("WARNING: no train_config.json found next to the checkpoint; "
+              "embedding an EMPTY config (masked_norm etc. will default "
+              "off at serve time)", file=sys.stderr)
     save_serving_params(
         out,
         {"params": state.params, "batch_stats": state.batch_stats},
