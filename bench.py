@@ -169,6 +169,8 @@ def _calibrate_bias(engine, imgs):
     """
     import jax.numpy as jnp
 
+    from fots.ops.nms import unpack_candidates
+
     target = (100, 800)
     bias, lo_b, hi_b = -2.0, -8.0, 2.0
     dens = None
@@ -179,7 +181,7 @@ def _calibrate_bias(engine, imgs):
         batch, _ = engine._letterbox(probe, (H, W))
         cands, _f = engine._dispatch_detect(batch)
         c = np.asarray(cands)
-        dens = float((c[:, 0, :] > 0).sum(axis=1).mean())
+        dens = float((unpack_candidates(c)[:, 0, :] > 0).sum(axis=1).mean())
         if dens < target[0]:
             lo_b = bias
         elif dens > target[1]:
@@ -232,18 +234,20 @@ print(json.dumps({"flops": float(cost.get("flops", 0.0))}))
     return float(json.loads(out.stdout.strip().splitlines()[-1])["flops"])
 
 
-def _bench_staged_real(engine, imgs):
+def _bench_staged_real(engine, imgs, batch: int = BATCH):
     """Headline: the real-image pipeline with image bytes at device speed.
 
     Per batch iteration, ALL of these run live: the engine's host prep of
-    the 16 real images (with device_letterbox that is the np.stack of the
-    raw batch — resize+pad run INSIDE the dispatched program and are
-    charged as device work; with a host-letterbox engine it is the full
-    cv2 letterbox), detector forward + on-device candidate extraction (on
-    the device-staged batch), candidate d2h, host locality-aware NMS,
+    the ``batch`` real images (with device_letterbox that is the np.stack
+    of the raw batch — resize+pad run INSIDE the dispatched program and
+    are charged as device work; with a host-letterbox engine it is the
+    full cv2 letterbox), detector forward + on-device candidate extraction
+    (on the device-staged batch), candidate d2h, host locality-aware NMS,
     bucketed RoIRotate + recognition of the (capped) live boxes, CTC text
-    decode.  Software-pipelined with 2 forwards in flight like
-    FOTSInference.stream.
+    decode.  Software-pipelined like FOTSInference.stream: 2 forwards in
+    flight AND each batch's recognition materialized one iteration later,
+    so recognition device time + id transfers hide behind the next
+    forward.
     """
     from collections import deque
 
@@ -252,7 +256,7 @@ def _bench_staged_real(engine, imgs):
     from fots.ops.nms import get_boxes_from_candidates_batch
 
     hs, ws = H // 4, W // 4
-    chunk = [imgs[j % len(imgs)] for j in range(BATCH)]
+    chunk = [imgs[j % len(imgs)] for j in range(batch)]
     batch_staged, scales = engine._letterbox(chunk, (H, W))
     from fots.pipeline import _RawBatch
 
@@ -270,14 +274,21 @@ def _bench_staged_real(engine, imgs):
 
     def run(iters):
         inflight = deque()
+        rec_inflight = deque()
 
         def dispatch():
-            c, f = prog(engine.variables, dev_imgs)
+            c, quads = prog(engine.variables, dev_imgs)
             try:
                 c.copy_to_host_async()
             except AttributeError:
                 pass
-            inflight.append((c, f))
+            inflight.append((c, engine._wrap_focr(quads, dev_imgs.shape[0],
+                                                  (H, W))))
+
+        def finish(item):
+            boxes, keys, jobs = item
+            return engine._recognize_finish(batch, boxes, keys, jobs,
+                                            scales, False)
 
         dispatch()
         dispatch()
@@ -290,26 +301,30 @@ def _bench_staged_real(engine, imgs):
             c, f = inflight.popleft()
             cands = np.asarray(c)
             boxes = engine._cap_boxes(get_boxes_from_candidates_batch(
-                cands[:BATCH], hs, ws, engine.segm_thresh, engine.iou_th1,
+                cands[:batch], hs, ws, engine.segm_thresh, engine.iou_th1,
                 engine.iou_th2))
             keys, jobs = engine._recognize_dispatch(boxes, f)
+            rec_inflight.append((boxes, keys, jobs))
             if i + 2 < iters:
                 dispatch()
-            res = engine._recognize_finish(BATCH, boxes, keys, jobs,
-                                           scales, False)
+            if len(rec_inflight) > 1:
+                res = finish(rec_inflight.popleft())
             boxes_count = sum(len(b) for b in boxes)
+        while rec_inflight:
+            res = finish(rec_inflight.popleft())
         # drain remaining in-flight dispatches
         while inflight:
             c, f = inflight.popleft()
             np.asarray(c)
         return res, boxes_count
 
-    _res, nb = run(WARMUP)  # warm every live pow2/bucket program
+    _res, nb = run(WARMUP)  # warm every live chunk/bucket program
     best, med = _best_median(lambda: run(ITERS), n=5)
     return {
-        "images_per_sec": round(BATCH * ITERS / best, 2),
-        "images_per_sec_median": round(BATCH * ITERS / med, 2),
-        "boxes_per_image_into_recognition": round(nb / BATCH, 1),
+        "images_per_sec": round(batch * ITERS / best, 2),
+        "images_per_sec_median": round(batch * ITERS / med, 2),
+        "batch": batch,
+        "boxes_per_image_into_recognition": round(nb / batch, 1),
     }
 
 
@@ -440,6 +455,7 @@ def main():
     extra["host_contention"] = _host_contention_probe()
 
     # ======== REAL-IMAGE benches (headline) ========
+    from fots.ops.nms import unpack_candidates
     from fots.pipeline import FOTSInference
 
     imgs = _load_real_images()
@@ -459,7 +475,8 @@ def main():
             probe = [imgs[j % len(imgs)] for j in range(BATCH)]
             pb, _ = engine._letterbox(probe, (H, W))
             cands, _f = engine._dispatch_detect(pb)
-            dens = float((np.asarray(cands)[:, 0, :] > 0).sum(axis=1).mean())
+            dens = float((unpack_candidates(np.asarray(cands))[:, 0, :] > 0)
+             .sum(axis=1).mean())
             extra["real_load"] = {
                 "weights": f"trained step {trained_step} "
                            "(artifacts/serving_params.npz)",
@@ -470,8 +487,16 @@ def main():
             extra["real_load"] = {"score_bias": round(bias, 3),
                                   "candidate_pixels_per_image": round(dens)}
         try:
-            staged = _bench_staged_real(engine, imgs)
-            extra["staged_real"] = staged
+            staged16 = _bench_staged_real(engine, imgs, batch=BATCH)
+            extra["staged_real"] = staged16
+            # batch 32 at the SAME 704x1280 serving resolution: identical
+            # letterbox path and accuracy, twice the images per program —
+            # amortizes per-batch host/link costs.  The headline takes the
+            # better of the two batchings (both recorded).
+            staged32 = _bench_staged_real(engine, imgs, batch=2 * BATCH)
+            extra["staged_real_b32"] = staged32
+            staged = max(staged16, staged32,
+                         key=lambda s: s["images_per_sec"])
         except Exception as e:
             extra["staged_real_error"] = repr(e)
         # one retry: the shared tunnel's remote-compile endpoint drops a

@@ -300,6 +300,20 @@ def extract_candidates(segm, geo, angle, k: int, segm_thresh: float = 0.5):
     return jnp.transpose(packed, (0, 2, 1))                     # [B,8,k]
 
 
+def unpack_candidates(cands: np.ndarray) -> np.ndarray:
+    """Inverse of the engine's u16 candidate transport (see
+    ``FOTSInference(cand_transport=...)``): channels 0-6 are float16 bit
+    patterns, channel 7 (last axis -1 of the channel dim) the uint16 pixel
+    index.  f32 packs pass through unchanged."""
+    cands = np.asarray(cands)
+    if cands.dtype != np.uint16:
+        return cands
+    out = np.empty(cands.shape, np.float32)
+    out[..., :7, :] = cands[..., :7, :].view(np.float16)
+    out[..., 7, :] = cands[..., 7, :]
+    return out
+
+
 def get_boxes_from_candidates(cands, map_h: int, map_w: int,
                               segm_thresh=0.5, iou_th1=0.4, iou_th2=0.2):
     """Host-side decode + merge from one image's packed candidates
@@ -309,7 +323,7 @@ def get_boxes_from_candidates(cands, map_h: int, map_w: int,
     merge, so results match :func:`get_boxes` exactly when all candidates
     fit in k.
     """
-    c = np.asarray(cands).T  # [k, 8] rows
+    c = unpack_candidates(np.asarray(cands)).T  # [k, 8] rows
     c = c[c[:, 0] > segm_thresh]
     if c.shape[0] == 0:
         return np.zeros((0, 9), np.float32)
@@ -351,7 +365,7 @@ def get_boxes_from_candidates_batch(cands, map_h: int, map_w: int,
     entire C pass) fans out across a thread pool.  Per-image results are
     identical to the scalar helper.
     """
-    cands = np.asarray(cands)
+    cands = unpack_candidates(np.asarray(cands))
     B, _, k = cands.shape
     scores = cands[:, 0, :]
     valid = scores > segm_thresh

@@ -162,7 +162,7 @@ class FOTSInference:
                  mesh=None, expand_w_frac: float = 0.0,
                  masked_norm: bool = False, beam: int = 0,
                  transport: str = "u8", max_boxes: Optional[int] = None,
-                 device_letterbox: bool = False):
+                 device_letterbox: bool = False, cand_transport: str = "u16"):
         self.model = model
         # device_letterbox: resize + pad INSIDE the detection program
         # (gather-based half-pixel bilinear, cv2 INTER_LINEAR convention)
@@ -186,6 +186,20 @@ class FOTSInference:
         if transport not in ("u8", "yuv420"):
             raise ValueError(f"unknown transport {transport!r}")
         self.transport = transport
+        # cand_transport: how the NMS candidate pack crosses the host link.
+        #   "u16" (default) — the 7 value channels (score, 4 distances,
+        #     sin, cos) travel as float16 bit patterns and the pixel index
+        #     as uint16: 16 B/candidate instead of 32.  Candidate d2h is a
+        #     first-order serving cost (the pack is ~1 MB/batch16 at the
+        #     2048-candidate cap); f16 moves decoded quad corners by
+        #     <0.1 px (distances <=128 px, f16 rel. eps 5e-4) — measured
+        #     heldout hmean delta: none (docs/PERFORMANCE.md).  Falls back
+        #     to f32 automatically when the 1/4-scale map has >= 2^16
+        #     pixels (the index would overflow; serve_hw above ~1024x1024).
+        #   "f32" — exact values, bit-identical to the dense-map path.
+        if cand_transport not in ("u16", "f32"):
+            raise ValueError(f"unknown cand_transport {cand_transport!r}")
+        self.cand_transport = cand_transport
         # max_boxes: optional per-image cap on detections entering
         # recognition (top-k by merged NMS score).  The reference has no
         # cap; production serving uses one to bound tail latency on noisy
@@ -261,6 +275,12 @@ class FOTSInference:
                 out["rbox"][0].astype(jnp.float32),
                 out["angle"][0].astype(jnp.float32),
                 self.max_candidates, segm_thresh)
+            hs, ws = images_f.shape[1] // 4, images_f.shape[2] // 4
+            if self.cand_transport == "u16" and hs * ws < 65536:
+                vals = jax.lax.bitcast_convert_type(
+                    cands[:, :7, :].astype(jnp.float16), jnp.uint16)
+                idx = cands[:, 7, :].astype(jnp.uint16)
+                cands = jnp.concatenate([vals, idx[:, None, :]], axis=1)
             # pack focr for the recognition gathers HERE, once per batch
             # (see PackedFocr); callers wrap the raw quads in a PackedFocr
             return cands, pack_neighbors(out["focr"])
@@ -320,6 +340,13 @@ class FOTSInference:
             return rroi_align_packed(feat, fshape, rois, TARGET_H, width,
                                      0.25)
 
+        def _ids_small(ids):
+            """ids travel as u8 when the vocab fits — the id pack is a
+            per-chunk d2h and the host link charges per byte."""
+            if model.nclass <= 255:
+                return ids.astype(jnp.uint8)
+            return ids.astype(jnp.int32)
+
         @functools.partial(jax.jit, static_argnames=("width", "fshape"))
         def _recognize(variables, feat, rois, width: int, fshape=None):
             strips = _crop_strips(feat, rois, width, fshape)
@@ -332,7 +359,7 @@ class FOTSInference:
                                method=FOTSDetector.recognize, valid_w=valid_w)
             ids = jnp.argmax(logp, axis=-1)
             conf = _box_conf(ids, jnp.max(logp, axis=-1), self._char_id_start)
-            return ids, conf
+            return _ids_small(ids), conf
 
         @functools.partial(jax.jit, static_argnames=("width", "fshape"))
         def _recognize_topk(variables, feat, rois, width: int, fshape=None):
@@ -684,6 +711,10 @@ class FOTSInference:
         :class:`PackedFocr` or a raw [B,H,W,C] focr map."""
         if isinstance(focr, PackedFocr):
             return focr.quads, focr.shape
+        if getattr(focr, "ndim", None) == 2:
+            raise TypeError(
+                "raw packed quads [B*H*W, 4C] carry no shape info — wrap "
+                "them via FOTSInference._wrap_focr(quads, batch, serve_hw)")
         return focr, None
 
     def batch_call(self, images_bgr: List[np.ndarray], serve_hw: Tuple[int, int] = (704, 1280),
@@ -783,10 +814,13 @@ class FOTSInference:
 
         Yields one :meth:`batch_call`-format results list per input batch.
         Two detector forwards stay in flight so host NMS/decoding and the
-        link round trip hide behind device work, and each batch's
-        recognition is dispatched before the next forward — the structure
-        that reaches chip-bound throughput in bench.py (vs the reference's
-        strictly sequential per-image loop, test.py:74-127).
+        link round trip hide behind device work; each batch's recognition
+        is dispatched before the next forward AND materialized one
+        iteration later (depth-2 on recognition too), so the recognition
+        programs' device time and their id transfers hide behind the next
+        batch's detector forward — the structure that reaches chip-bound
+        throughput in bench.py (vs the reference's strictly sequential
+        per-image loop, test.py:74-127).
 
         With ``with_context=True`` the iterable yields ``(ctx, images)``
         pairs and the stream yields ``(ctx, results)`` — the caller's
@@ -798,6 +832,7 @@ class FOTSInference:
         hs, ws = serve_hw[0] // 4, serve_hw[1] // 4
         it = iter(batch_iter)
         inflight = deque()
+        rec_pending = deque()
 
         def pull():
             item = next(it, None)
@@ -815,17 +850,21 @@ class FOTSInference:
 
         if pull():
             pull()
-        while inflight:
-            ctx, n, scales, cands_dev, focr = inflight.popleft()
-            cands = np.asarray(cands_dev)
-            boxes = self._cap_boxes(get_boxes_from_candidates_batch(
-                cands[:n], hs, ws, self.segm_thresh, self.iou_th1,
-                self.iou_th2))
-            keys, jobs = self._recognize_dispatch(boxes, focr)
-            pull()  # next forward overlaps this batch's materialization
-            res = self._recognize_finish(n, boxes, keys, jobs, scales,
-                                         split_words)
-            yield (ctx, res) if with_context else res
+        while inflight or rec_pending:
+            if inflight:
+                ctx, n, scales, cands_dev, focr = inflight.popleft()
+                cands = np.asarray(cands_dev)
+                boxes = self._cap_boxes(get_boxes_from_candidates_batch(
+                    cands[:n], hs, ws, self.segm_thresh, self.iou_th1,
+                    self.iou_th2))
+                keys, jobs = self._recognize_dispatch(boxes, focr)
+                rec_pending.append((ctx, n, scales, boxes, keys, jobs))
+                pull()  # next forward overlaps this batch's recognition
+            if rec_pending and (len(rec_pending) > 1 or not inflight):
+                ctx, n, scales, boxes, keys, jobs = rec_pending.popleft()
+                res = self._recognize_finish(n, boxes, keys, jobs, scales,
+                                             split_words)
+                yield (ctx, res) if with_context else res
 
     # -------- fused end-to-end --------
 

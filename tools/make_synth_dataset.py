@@ -35,15 +35,14 @@ WORDS = [
 ]
 
 
-def render_word(rng, text, max_scale=2.2):
+def render_word(rng, text, max_scale=2.2, font=cv2.FONT_HERSHEY_SIMPLEX):
     """Render one word on a tight canvas; returns (bgr, alpha) patches."""
     scale = float(rng.uniform(0.9, max_scale))
     thick = int(rng.integers(1, 3)) + (scale > 1.5)
-    (tw, th), base = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX, scale,
-                                     thick)
+    (tw, th), base = cv2.getTextSize(text, font, scale, thick)
     pad = 6
     canvas = np.zeros((th + base + 2 * pad, tw + 2 * pad), np.uint8)
-    cv2.putText(canvas, text, (pad, pad + th), cv2.FONT_HERSHEY_SIMPLEX,
+    cv2.putText(canvas, text, (pad, pad + th), font,
                 scale, 255, thick, cv2.LINE_AA)
     color = rng.integers(0, 255, 3)
     # keep strong contrast vs mid-gray backgrounds
@@ -86,25 +85,53 @@ def paste_rotated(rng, scene, bgr, alpha, angle_deg, cx, cy):
     return np.roll(quad, 1, axis=0)
 
 
-def make_scene(seed, idx, size_hw=(640, 960)):
+def photo_background(rng, size_hw, bg_images):
+    """Random crop of a real photograph, resampled to the scene size.
+
+    The crop is 0.5x down-up resampled + lightly blurred so pre-existing
+    real-world text in the source photo degrades below the detector's
+    min-height filter while the photographic texture (lighting, edges,
+    clutter statistics the synthetic gradient background lacks) survives.
+    Large storefront signage can still survive this; the domain-shift
+    precision number is therefore a *lower bound* (unannotated real text
+    found by the detector counts as a false positive).
+    """
+    H, W = size_hw
+    im = bg_images[int(rng.integers(0, len(bg_images)))]
+    h0, w0 = im.shape[:2]
+    ch = int(rng.uniform(0.5, 1.0) * h0)
+    cw = min(w0, max(int(ch * W / H), 32))
+    y0 = int(rng.integers(0, h0 - ch + 1))
+    x0 = int(rng.integers(0, w0 - cw + 1))
+    crop = im[y0:y0 + ch, x0:x0 + cw]
+    crop = cv2.resize(crop, (W // 2, H // 2), interpolation=cv2.INTER_AREA)
+    crop = cv2.resize(crop, (W, H), interpolation=cv2.INTER_LINEAR)
+    return cv2.GaussianBlur(crop, (3, 3), 0).astype(np.uint8)
+
+
+def make_scene(seed, idx, size_hw=(640, 960), fonts=(cv2.FONT_HERSHEY_SIMPLEX,),
+               bg_images=None):
     rng = np.random.default_rng((seed, idx))
     H, W = size_hw
-    # background: smooth gradient + noise + clutter
-    gx = np.linspace(0, 1, W)[None, :]
-    gy = np.linspace(0, 1, H)[:, None]
-    c0 = rng.integers(40, 216, 3).astype(np.float32)
-    c1 = rng.integers(40, 216, 3).astype(np.float32)
-    scene = (c0[None, None] * (1 - (gx + gy) / 2)[..., None]
-             + c1[None, None] * ((gx + gy) / 2)[..., None])
-    scene += rng.normal(0, 6, scene.shape)
-    scene = np.clip(scene, 0, 255).astype(np.uint8)
-    for _ in range(int(rng.integers(2, 6))):  # textureless clutter
-        x0, y0 = int(rng.integers(0, W - 60)), int(rng.integers(0, H - 60))
-        ww, hh = int(rng.integers(30, 200)), int(rng.integers(30, 200))
-        col = tuple(int(v) for v in rng.integers(0, 255, 3))
-        cv2.rectangle(scene, (x0, y0), (min(x0 + ww, W - 1), min(y0 + hh, H - 1)),
-                      col, -1)
-        scene[y0:y0 + 2] = np.clip(scene[y0:y0 + 2] * 0.7, 0, 255)
+    if bg_images:
+        scene = photo_background(rng, size_hw, bg_images)
+    else:
+        # background: smooth gradient + noise + clutter
+        gx = np.linspace(0, 1, W)[None, :]
+        gy = np.linspace(0, 1, H)[:, None]
+        c0 = rng.integers(40, 216, 3).astype(np.float32)
+        c1 = rng.integers(40, 216, 3).astype(np.float32)
+        scene = (c0[None, None] * (1 - (gx + gy) / 2)[..., None]
+                 + c1[None, None] * ((gx + gy) / 2)[..., None])
+        scene += rng.normal(0, 6, scene.shape)
+        scene = np.clip(scene, 0, 255).astype(np.uint8)
+        for _ in range(int(rng.integers(2, 6))):  # textureless clutter
+            x0, y0 = int(rng.integers(0, W - 60)), int(rng.integers(0, H - 60))
+            ww, hh = int(rng.integers(30, 200)), int(rng.integers(30, 200))
+            col = tuple(int(v) for v in rng.integers(0, 255, 3))
+            cv2.rectangle(scene, (x0, y0),
+                          (min(x0 + ww, W - 1), min(y0 + hh, H - 1)), col, -1)
+            scene[y0:y0 + 2] = np.clip(scene[y0:y0 + 2] * 0.7, 0, 255)
 
     quads, texts = [], []
     small = min(H, W) < 400
@@ -114,7 +141,8 @@ def make_scene(seed, idx, size_hw=(640, 960)):
     while len(quads) < n_words and tries < 60:
         tries += 1
         text = WORDS[int(rng.integers(0, len(WORDS)))]
-        bgr, alpha = render_word(rng, text, max_scale=max_scale)
+        font = fonts[int(rng.integers(0, len(fonts)))]
+        bgr, alpha = render_word(rng, text, max_scale=max_scale, font=font)
         angle = float(rng.uniform(-25, 25))
         cx = float(rng.uniform(0.18 * W, 0.82 * W))
         cy = float(rng.uniform(0.12 * H, 0.88 * H))
@@ -152,12 +180,36 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--size", type=int, nargs=2, default=(640, 960),
                     metavar=("H", "W"))
+    ap.add_argument("--domain_shift", action="store_true",
+                    help="render an appearance-shifted EVAL set: Hershey "
+                         "fonts the synth_big training set never used "
+                         "(DUPLEX/TRIPLEX/COMPLEX/PLAIN vs its SIMPLEX) on "
+                         "photographic backgrounds cropped from the "
+                         "reference's 11 real ICDAR2015 example images — "
+                         "turns the in-distribution caveat of "
+                         "docs/ACCURACY.md into a measurement")
+    ap.add_argument("--bg_dir", default="/root/reference/data/example_image",
+                    help="photo source for --domain_shift backgrounds")
     args = ap.parse_args()
+
+    fonts = (cv2.FONT_HERSHEY_SIMPLEX,)
+    bg_images = None
+    if args.domain_shift:
+        fonts = (cv2.FONT_HERSHEY_DUPLEX, cv2.FONT_HERSHEY_TRIPLEX,
+                 cv2.FONT_HERSHEY_COMPLEX, cv2.FONT_HERSHEY_PLAIN)
+        import glob
+
+        bg_images = [cv2.imread(p) for p in
+                     sorted(glob.glob(os.path.join(args.bg_dir, "*.jpg")))]
+        bg_images = [im for im in bg_images if im is not None]
+        if not bg_images:
+            raise SystemExit(f"no background photos under {args.bg_dir}")
 
     os.makedirs(args.out, exist_ok=True)
     names = []
     for i in range(args.n):
-        scene, quads, texts = make_scene(args.seed, i, tuple(args.size))
+        scene, quads, texts = make_scene(args.seed, i, tuple(args.size),
+                                         fonts=fonts, bg_images=bg_images)
         name = f"img_{i:03d}"
         cv2.imwrite(os.path.join(args.out, name + ".jpg"), scene,
                     [cv2.IMWRITE_JPEG_QUALITY, 92])

@@ -47,7 +47,8 @@ def main():
     from fots.codec import LabelCodec
     from fots.models import FOTSDetector
     from fots.models.detector import init_detector
-    from fots.ops.nms import get_boxes_from_candidates_batch
+    from fots.ops.nms import (get_boxes_from_candidates_batch,
+                              unpack_candidates)
     from fots.pipeline import FOTSInference
 
     n_batches = 3
@@ -80,7 +81,8 @@ def main():
     if trained_step is not None:
         batch, _ = engine._letterbox(probe, (H, W))
         cands, _f = engine._dispatch_detect(batch)
-        dens = float((np.asarray(cands)[:, 0, :] > 0).sum(axis=1).mean())
+        dens = float((unpack_candidates(np.asarray(cands))[:, 0, :] > 0)
+             .sum(axis=1).mean())
         out = {"candidate_pixels_per_image": round(dens, 1),
                "weights": f"trained step {trained_step}"}
     else:
@@ -94,7 +96,7 @@ def main():
             batch, _ = engine._letterbox(probe, (H, W))
             cands, _f = engine._dispatch_detect(batch)
             c = np.asarray(cands)
-            dens = float((c[:, 0, :] > 0).sum(axis=1).mean())
+            dens = float((unpack_candidates(c)[:, 0, :] > 0).sum(axis=1).mean())
             if dens < target[0]:
                 lo_b = bias
             elif dens > target[1]:
@@ -171,7 +173,7 @@ def main():
         get_boxes_from_candidates_batch(cands[:BATCH], hs, ws, 0.5)
     nms_all = (t() - t0) / 3
     # decode-only portion
-    c0 = cands[:BATCH]
+    c0 = unpack_candidates(cands[:BATCH])
     scores = c0[:, 0, :]
     valid = scores > 0.5
     t0 = t()
@@ -215,14 +217,15 @@ def main():
 
     def staged_run(iters, acc=None):
         inflight = deque()
+        rec_inflight = deque()
 
         def dispatch():
-            c, f = prog(eng_dl.variables, dev_imgs)
+            c, quads = prog(eng_dl.variables, dev_imgs)
             try:
                 c.copy_to_host_async()
             except AttributeError:
                 pass
-            inflight.append((c, f))
+            inflight.append((c, eng_dl._wrap_focr(quads, BATCH, (H, W))))
 
         dispatch()
         dispatch()
@@ -239,12 +242,18 @@ def main():
                 eng_dl.iou_th2))
             t3 = t()
             keys, jobs = eng_dl._recognize_dispatch(boxes, f)
+            rec_inflight.append((boxes, keys, jobs))
             t4 = t()
             if i + 2 < iters:
                 dispatch()
             t5 = t()
-            eng_dl._recognize_finish(BATCH, boxes, keys, jobs,
-                                     st_scales, False)
+            # depth-2 recognition (bench.py posture): materialize the
+            # PREVIOUS batch's recognition while this batch's runs behind
+            # the next forward — its device time + id transfers hide there
+            if len(rec_inflight) > 1:
+                b2, k2, j2 = rec_inflight.popleft()
+                eng_dl._recognize_finish(BATCH, b2, k2, j2,
+                                         st_scales, False)
             t6 = t()
             nb += sum(len(b) for b in boxes)
             if acc is not None:
@@ -253,7 +262,10 @@ def main():
                 acc["host_nms_ms"] += (t3 - t2) * 1e3
                 acc["rec_dispatch_ms"] += (t4 - t3) * 1e3
                 acc["next_dispatch_ms"] += (t5 - t4) * 1e3
-                acc["rec_finish_decode_ms"] += (t6 - t5) * 1e3
+                acc["rec_finish_prev_ms"] += (t6 - t5) * 1e3
+        while rec_inflight:
+            b2, k2, j2 = rec_inflight.popleft()
+            eng_dl._recognize_finish(BATCH, b2, k2, j2, st_scales, False)
         while inflight:
             c, _f = inflight.popleft()
             np.asarray(c)
@@ -266,7 +278,7 @@ def main():
         acc = {k: 0.0 for k in
                ("host_prep_ms", "wait_for_device_ms", "host_nms_ms",
                 "rec_dispatch_ms", "next_dispatch_ms",
-                "rec_finish_decode_ms")}
+                "rec_finish_prev_ms")}
         t0 = t()
         nb = staged_run(staged_iters, acc)
         wall = t() - t0
@@ -281,6 +293,80 @@ def main():
         "accounted_ms": round(sum(accs.values()), 2),
         "boxes_per_image": round(nb / (staged_iters * BATCH), 1),
     }
+
+    # --- recognition roofline at the REAL load (VERDICT r4 item 1):
+    # per compiled recognition program, live vs padded rois, XLA FLOPs /
+    # bytes, measured device time, MFU and %HBM-peak; plus the load's
+    # aggregate padding efficiency (live roi-columns / padded ones). ---
+    from fots.geometry import TARGET_H, rroi_from_box
+
+    chunk = next(batches(1))
+    batch, _sc = engine._letterbox(chunk, (H, W))
+    per_image_boxes, focr = engine.detect_boxes_batch(batch)
+    feat, fshape = engine._feat_args(focr)
+    buckets = {}
+    live_cols = 0.0
+    for i, bxs in enumerate(per_image_boxes):
+        for j in range(bxs.shape[0]):
+            roi, bw, bh = rroi_from_box(bxs[j], i)
+            from fots.pipeline import strip_width_for_box as _swb
+            wbkt = _swb(bw, bh, buckets=engine.strip_buckets)
+            buckets.setdefault(wbkt, []).append(roi)
+            live_cols += min(wbkt, int(np.ceil(TARGET_H * bw / max(bh, 1e-6))))
+    PEAK_BF16 = 197e12   # v5e MXU peak, bf16
+    PEAK_HBM = 819e9     # v5e HBM bytes/s
+    roof = {"per_program": {}, "load": {}}
+    padded_cols = 0
+    total_dev_ms = 0.0
+    for width in sorted(buckets):
+        rois_b = np.asarray(buckets[width], np.float32)
+        csize = engine._roi_chunk(width)
+        n_inv = -(-len(rois_b) // csize)
+        padded_cols += n_inv * csize * width
+        # compile-level cost of ONE chunk program
+        sel = np.tile(np.asarray(engine._DUMMY_ROI, np.float32), (csize, 1))
+        sel[: min(csize, len(rois_b))] = rois_b[:csize]
+        sel_dev = jax.device_put(sel)
+        lowered = engine._recognize.lower(engine.variables, feat, sel_dev,
+                                          width=width, fshape=fshape)
+        ca = lowered.compile().cost_analysis()
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        # device time: K back-to-back invocations, one sync (tunnel RTT
+        # amortized; still RTT-contaminated by ~1-2 ms/invocation at
+        # K=20 — treat as an upper bound).  Warm WITH a sync first so no
+        # compile or in-flight work leaks into the timed loop.
+        _ = float(jax.device_get(jnp.sum(
+            engine._recognize(engine.variables, feat, sel_dev, width,
+                              fshape)[1])))
+        K, dt = 20, 1e9
+        for _rep in range(2):
+            t0 = t()
+            outs = [engine._recognize(engine.variables, feat, sel_dev,
+                                      width, fshape) for _ in range(K)]
+            _ = float(jax.device_get(jnp.sum(outs[-1][1])))
+            dt = min(dt, (t() - t0) / K)
+        total_dev_ms += dt * 1e3 * n_inv
+        roof["per_program"][f"w{width}"] = {
+            "chunk_rois": int(csize),
+            "invocations_at_this_load": int(n_inv),
+            "live_rois": int(len(rois_b)),
+            "padded_roi_slots": int(n_inv * csize),
+            "roi_padding_efficiency": round(len(rois_b) / (n_inv * csize), 3),
+            "gflops_per_invocation": round(flops / 1e9, 2),
+            "bytes_mb_per_invocation": round(byts / 1e6, 1),
+            "device_ms_per_invocation": round(dt * 1e3, 3),
+            "mfu": round(flops / dt / PEAK_BF16, 4),
+            "pct_hbm_peak": round(byts / dt / PEAK_HBM * 100, 1),
+        }
+    roof["load"] = {
+        "boxes_per_batch16": int(sum(len(b) for b in per_image_boxes)),
+        "live_strip_columns": int(live_cols),
+        "padded_strip_columns": int(padded_cols),
+        "column_padding_efficiency": round(live_cols / max(padded_cols, 1), 3),
+        "recognition_device_ms_per_batch16": round(total_dev_ms, 2),
+    }
+    out["recognition_roofline"] = roof
 
     # --- pipelined stream wall for the same batches ---
     for rep in range(3):

@@ -51,14 +51,16 @@ def staged_real(engine, imgs, hw, batch, iters=ITERS):
 
     def run(iters):
         inflight = deque()
+        rec_inflight = deque()
 
         def dispatch():
-            c, f = prog(engine.variables, dev_imgs)
+            c, quads = prog(engine.variables, dev_imgs)
             try:
                 c.copy_to_host_async()
             except AttributeError:
                 pass
-            inflight.append((c, f))
+            inflight.append((c, engine._wrap_focr(quads, dev_imgs.shape[0],
+                                                  hw)))
 
         dispatch()
         dispatch()
@@ -71,10 +73,18 @@ def staged_real(engine, imgs, hw, batch, iters=ITERS):
                 cands[:batch], hs, ws, engine.segm_thresh, engine.iou_th1,
                 engine.iou_th2))
             keys, jobs = engine._recognize_dispatch(boxes, f)
+            rec_inflight.append((boxes, keys, jobs))
             if i + 2 < iters:
                 dispatch()
-            engine._recognize_finish(batch, boxes, keys, jobs, scales, False)
+            # depth-2 recognition (as bench.py): materialize the PREVIOUS
+            # batch's jobs while this batch's run behind the next forward
+            if len(rec_inflight) > 1:
+                b2, k2, j2 = rec_inflight.popleft()
+                engine._recognize_finish(batch, b2, k2, j2, scales, False)
             nb = sum(len(b) for b in boxes)
+        while rec_inflight:
+            b2, k2, j2 = rec_inflight.popleft()
+            engine._recognize_finish(batch, b2, k2, j2, scales, False)
         while inflight:
             c, _f = inflight.popleft()
             np.asarray(c)
