@@ -96,10 +96,10 @@ def _sample_centers(rois, pooled_height, pooled_width, spatial_scale, height, wi
     return bin_cx, bin_cy, valid
 
 
-def pack_neighbors(features):
+def pack_neighbors(features, prefer_pallas: bool = True):
     """Pre-pack every 2x2 bilinear-neighbor tile of a feature map into one
     4C-wide row: ``quads[b*H*W + y*W + x] = [f[y,x], f[y,x+1], f[y+1,x],
-    f[y+1,x+1]]`` (dense concats, bandwidth-cheap).
+    f[y+1,x+1]]``.
 
     TPU gathers cost ~35 cycles/row regardless of row width, so fetching
     the 4 neighbors as ONE take of a 4C row beats 4 takes of C rows
@@ -110,13 +110,181 @@ def pack_neighbors(features):
     bucket program via :func:`rroi_align_packed` instead of letting each
     one rebuild it (the round-4 profile showed the per-bucket rebuild
     dominating recognition device time at fine-bucket loads).
+
+    Layout: the flat map is viewed as row PAIRS ``[B*H*W/2, 2C]`` so every
+    concat operand is >= 128 lanes for the 64-channel focr (the naive
+    [BHW, C]-operand concat lane-pads each 64-wide piece to 128 and
+    moved ~3x the bytes: measured 12.2 -> 3.9 ms per 32x176x320x64 bf16
+    map on v5e).  The 8-piece [n/2, 8C] output equals the [BHW, 4C] quad
+    rows in row-major order.  Out-of-map neighbors read zeros (the
+    original formulation wrapped around instead); both are masked to
+    weight 0 by ``tile_weights``'s strict in-bounds rule, so crops are
+    bit-identical.
     """
     b_count, height, width, channels = features.shape
-    flat = features.reshape(b_count * height * width, channels)
+    n = b_count * height * width
+    c = channels
+    if (prefer_pallas and width % 2 == 0 and 2 * c == 128
+            and (n // 2) % 8 == 0 and _on_tpu()):
+        # the hot serving case (64-ch focr): XLA's concat codegen moves
+        # this at ~50-60 GB/s (measured 20-25 ms per 32x176x320x64 bf16
+        # map on v5e, every formulation tried); the double-buffered
+        # Pallas copy kernel streams it at HBM rate
+        return _pack_neighbors_pallas(features)
+    return _pack_neighbors_xla(features)
+
+
+def _pack_neighbors_xla(features):
+    """Plain-XLA pack (rolled concats).  Out-of-map neighbor rows wrap
+    around here (vs the Pallas kernel's zeros) — both are weight-masked
+    by ``tile_weights``'s strict in-bounds rule, so crops are identical."""
+    b_count, height, width, channels = features.shape
+    n = b_count * height * width
+    flat = features.reshape(n, channels)
     right = jnp.concatenate([flat[1:], flat[:1]], axis=0)
-    pairs = jnp.concatenate([flat, right], axis=1)               # [BHW, 2C]
+    pairs = jnp.concatenate([flat, right], axis=1)
     below = jnp.concatenate([pairs[width:], pairs[:width]], axis=0)
-    return jnp.concatenate([pairs, below], axis=1)               # [BHW, 4C]
+    return jnp.concatenate([pairs, below], axis=1)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _pack_neighbors_pallas(features, interpret: bool = False):
+    """Pallas streaming pack for the 64-channel case (row-pair view is
+    exactly 128 lanes).  Pure DMA + VMEM lane-concat: each grid step
+    copies an (R + W/2 + halo)-row window of the [n/2, 128] pair view
+    in, assembles the [R, 512] quad-pair tile, and DMAs it out —
+    bandwidth-bound by the 4C output write (measured ~70% of the chip's
+    plain-copy rate vs ~60% for the best XLA concat formulation; worth
+    ~11 ms/batch32 end-to-end at 704x1280 serving).  Out-of-map
+    neighbors read zeros (the last window's halo is zeroed in VMEM);
+    they are weight-masked downstream, see :func:`pack_neighbors`."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b_count, height, width, channels = features.shape
+    n = b_count * height * width
+    n2, c, w2 = n // 2, channels, width // 2
+    x2 = features.reshape(n2, 2 * c)
+
+    # block rows: largest power-of-two divisor of n2 (exact division, so
+    # only the LAST block's halo over-read needs special-casing), capped
+    # to keep the 2x double-buffered scratch a few MB
+    R = min(2048, n2 & -n2)
+    halo = ((w2 + 1 + 7) // 8) * 8  # window tail, 8-row aligned for DMA
+    if R < max(256, halo):
+        return _pack_neighbors_xla(features)
+    n_blocks = n2 // R
+    full = R + halo
+
+    def kernel(x_hbm, o_hbm, win, tile, t0, tE, tW, tF, in_sems, out_sems):
+        # Double-buffered streaming copy: block i+1's window DMA is issued
+        # before block i's compute, and the output DMA is waited two steps
+        # later — the per-block DMA latency (~20 us each way on v5e) no
+        # longer serializes (the single-buffered version ran at ~60 GB/s;
+        # this one is HBM-bound).  The four row-shifted views become
+        # VALUE copies at sublane-0 before the lane-concat (Mosaic
+        # rejects lane-concat of operands at different sublane offsets).
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+
+        def start_in(b, s):
+            # n_blocks == 1 must not even TRACE the full-window branch:
+            # its (R + halo)-row slice is statically out of bounds then
+            if n_blocks > 1:
+                @pl.when(b < n_blocks - 1)
+                def _():
+                    pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(b * R, full)], win.at[s],
+                        in_sems.at[s]).start()
+
+            @pl.when(b == n_blocks - 1)
+            def _():
+                # the last window's halo is past the map: zero it (the
+                # out-of-map neighbor rows are weight-masked downstream)
+                win[s, pl.ds(R, halo), :] = jnp.zeros(
+                    (halo, 2 * c), win.dtype)
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(b * R, R)], win.at[s, pl.ds(0, R)],
+                    in_sems.at[s]).start()
+
+        def wait_in(b, s):
+            if n_blocks > 1:
+                @pl.when(b < n_blocks - 1)
+                def _():
+                    pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(b * R, full)], win.at[s],
+                        in_sems.at[s]).wait()
+
+            @pl.when(b == n_blocks - 1)
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(b * R, R)], win.at[s, pl.ds(0, R)],
+                    in_sems.at[s]).wait()
+
+        def out_copy(b, s):
+            return pltpu.make_async_copy(
+                tile.at[s], o_hbm.at[pl.ds(b * R, R)], out_sems.at[s])
+
+        @pl.when(i == 0)
+        def _():
+            start_in(i, slot)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            start_in(i + 1, jax.lax.rem(i + 1, 2))
+
+        wait_in(i, slot)
+
+        if n_blocks > 2:
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
+
+        # materialize the shifted views at sublane offset 0 first: Mosaic
+        # rejects lane-concat of operands at different sublane offsets
+        t0[...] = win[slot, 0:R]
+        tE[...] = win[slot, 1:R + 1]
+        tW[...] = win[slot, w2:w2 + R]
+        tF[...] = win[slot, w2 + 1:w2 + R + 1]
+        tile[slot] = jnp.concatenate([
+            t0[...],                                          # A,B
+            tW[...],                                          # C,D
+            jnp.concatenate([t0[:, c:], tE[:, :c]], axis=1),  # B,E
+            jnp.concatenate([tW[:, c:], tF[:, :c]], axis=1),  # D,F
+        ], axis=1)
+        out_copy(i, slot).start()
+
+        @pl.when(i == n_blocks - 1)
+        def _():
+            if n_blocks > 1:
+                out_copy(i - 1, jax.lax.rem(i + 1, 2)).wait()
+            out_copy(i, slot).wait()
+
+    out2 = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n2, 8 * c), x2.dtype),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, full, 2 * c), x2.dtype),
+            pltpu.VMEM((2, R, 8 * c), x2.dtype),
+            pltpu.VMEM((R, 2 * c), x2.dtype),
+            pltpu.VMEM((R, 2 * c), x2.dtype),
+            pltpu.VMEM((R, 2 * c), x2.dtype),
+            pltpu.VMEM((R, 2 * c), x2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2)
+    return out2.reshape(n, 4 * c)
 
 
 @functools.partial(

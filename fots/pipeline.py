@@ -282,8 +282,12 @@ class FOTSInference:
                 idx = cands[:, 7, :].astype(jnp.uint16)
                 cands = jnp.concatenate([vals, idx[:, None, :]], axis=1)
             # pack focr for the recognition gathers HERE, once per batch
-            # (see PackedFocr); callers wrap the raw quads in a PackedFocr
-            return cands, pack_neighbors(out["focr"])
+            # (see PackedFocr); callers wrap the raw quads in a PackedFocr.
+            # Under a mesh the XLA pack is used — the Pallas streaming
+            # kernel is single-device (sharded operands would need a
+            # shard_map wrapper it doesn't have)
+            return cands, pack_neighbors(out["focr"],
+                                         prefer_pallas=self.mesh is None)
 
         @jax.jit
         def _forward_sparse(variables, images):

@@ -101,3 +101,29 @@ def test_rroi_demo_cli(tmp_path):
     assert (out / "crop0.jpg").exists() and (out / "grad_overlay.jpg").exists()
     g = cv2.imread(str(out / "grad.jpg"))
     assert g is not None and g.sum() > 0
+
+
+def test_pack_neighbors_pallas_interpret():
+    """The Pallas streaming pack must equal the XLA pack on every in-map
+    row (out-of-map neighbor slots differ by design — zeros vs wraparound
+    — and are weight-masked in rroi_align_packed; verified end-to-end by
+    the crop comparison)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fots.ops.rroi_align import (_pack_neighbors_pallas,
+                                     _pack_neighbors_xla, rroi_align_packed)
+
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.random((2, 16, 32, 64), np.float32))
+    qx = _pack_neighbors_xla(f)
+    qp = _pack_neighbors_pallas(f, interpret=True)
+    assert qp.shape == qx.shape
+    # full crops must match exactly through the gather (masks hide the
+    # wrap-vs-zero difference at map edges)
+    rois = jnp.asarray(np.array(
+        [[0, 16, 8, 6, 18, 15.0], [1, 30, 14, 5, 10, -30.0],
+         [0, 1, 1, 4, 8, 0.0], [1, 31, 15, 5, 9, 40.0]], np.float32))
+    a = rroi_align_packed(qx, f.shape, rois, 11, 24, 1.0)
+    b = rroi_align_packed(qp, f.shape, rois, 11, 24, 1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
