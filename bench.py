@@ -722,6 +722,14 @@ def main():
         except Exception as e:
             extra["train_error"] = repr(e)
 
+    # the 10x question, self-contained in the driver artifact (VERDICT r4
+    # item 7): the committed sweep's accuracy-first row AND its best
+    # >= 220 img/s configuration with the measured hmean price
+    try:
+        extra["sweep_10x"] = _sweep_10x_summary()
+    except Exception as e:
+        extra["sweep_10x_error"] = repr(e)
+
     print(json.dumps({
         "metric": "icdar2015_e2e_images_per_sec_staged",
         "value": round(staged["images_per_sec"], 3),
@@ -730,6 +738,52 @@ def main():
         "median": round(staged["images_per_sec_median"], 3),
         "extra": extra,
     }))
+
+
+def _sweep_10x_summary():
+    """Summarize artifacts/serving_sweep.json (tools/sweep_serving.py) so
+    the driver-recorded BENCH artifact carries both the accuracy-first
+    number and the priced >=220 img/s (10x the 22-fps paper anchor)
+    configuration without a side lookup."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "serving_sweep.json")
+    with open(path) as f:
+        sweep = json.load(f)
+    anchor = sweep.get("anchor_images_per_sec_10x", 220.0)
+    ref_key = "704x1280"  # accuracy-first default config
+    ref = sweep["configs"].get(ref_key, {})
+    ref_hmean = ref.get("heldout", {}).get("e2e_hmean")
+    rows = []
+    for key, cfg in sweep["configs"].items():
+        for bk, r in cfg.items():
+            if not bk.startswith("batch"):
+                continue
+            rows.append({
+                "config": f"{key}/{bk}",
+                "images_per_sec": r["images_per_sec"],
+                "heldout_e2e_hmean": cfg.get("heldout", {}).get("e2e_hmean"),
+            })
+    over = [r for r in rows if r["images_per_sec"] >= anchor]
+    best_over = None
+    if over:
+        # prefer accuracy among configs that clear the bar
+        best_over = max(over, key=lambda r: (r["heldout_e2e_hmean"] or 0.0,
+                                             r["images_per_sec"]))
+        if ref_hmean is not None and best_over["heldout_e2e_hmean"] is not None:
+            best_over["heldout_e2e_delta_vs_704x1280"] = round(
+                best_over["heldout_e2e_hmean"] - ref_hmean, 4)
+    return {
+        "anchor_images_per_sec": anchor,
+        "sweep_weights": sweep.get("weights"),
+        "accuracy_first_704x1280": {
+            "batch32_images_per_sec": ref.get("batch32", {}).get("images_per_sec"),
+            "heldout_e2e_hmean": ref_hmean,
+            "heldout_detection_hmean": ref.get("heldout", {}).get("detection_hmean"),
+        },
+        "best_config_at_or_over_anchor": best_over,
+    }
 
 
 def _bench_joint_train():
@@ -771,11 +825,68 @@ def _bench_joint_train():
         t.append(time.perf_counter() - t0)
     ts = sorted(t)
     dt = ts[0]
-    return {"images_per_sec": round(b / dt, 2),
-            "step_wall_ms": round(dt * 1e3, 1),
-            "step_wall_ms_p50": round(ts[len(ts) // 2] * 1e3, 1),
-            "step_wall_ms_p90": round(ts[int(len(ts) * 0.9)] * 1e3, 1),
-            "batch": b, "input_size": size}
+    res = {"images_per_sec": round(b / dt, 2),
+           "step_wall_ms": round(dt * 1e3, 1),
+           "step_wall_ms_p50": round(ts[len(ts) // 2] * 1e3, 1),
+           "step_wall_ms_p90": round(ts[int(len(ts) * 0.9)] * 1e3, 1),
+           "batch": b, "input_size": size,
+           "note": "synthetic repeated batch = device-step floor"}
+    # sustained throughput over the REAL host pipeline (VERDICT r4 item
+    # 5): stream the synth_big train list through the multiprocess
+    # prefetch + augmentation + rbox generation into trainer.step — the
+    # reference's training-loop cost includes this host side
+    # (/root/reference/train.py:79-141)
+    try:
+        res["real_pipeline"] = _bench_joint_train_stream(trainer, b)
+    except Exception as e:
+        res["real_pipeline_error"] = repr(e)
+    return res
+
+
+def _bench_joint_train_stream(trainer, b, steps: int = 40):
+    import os
+    import subprocess
+
+    if not os.path.exists("data/synth_big/img_000.jpg"):
+        # scenes are deterministic from their seed and gitignored
+        subprocess.run([sys.executable, "tools/make_synth_dataset.py",
+                        "--out", "data/synth_big", "--n", "128",
+                        "--n_eval", "16", "--seed", "7"],
+                       check=True, timeout=1800, capture_output=True)
+    from fots.data.detection import detection_batches
+
+    batches = detection_batches("data/synth_big_train.txt", num_workers=3,
+                                input_size=512, batch_size=b, seed=0)
+    it = iter(batches)
+    try:
+        trainer.step(next(it))  # warm the variable-roi path; queue fills
+        wait_ms, step_ms = [], []
+        t_start = time.perf_counter()
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            bt = next(it)
+            t1 = time.perf_counter()
+            trainer.step(bt)
+            t2 = time.perf_counter()
+            wait_ms.append((t1 - t0) * 1e3)
+            step_ms.append((t2 - t1) * 1e3)
+        wall = time.perf_counter() - t_start
+    finally:
+        batches.stop()
+    wait = sorted(wait_ms)
+    st = sorted(step_ms)
+    return {
+        "images_per_sec_sustained": round(b * steps / wall, 2),
+        "steps": steps,
+        "wait_for_batch_ms_p50": round(wait[len(wait) // 2], 1),
+        "wait_for_batch_ms_p90": round(wait[int(len(wait) * 0.9)], 1),
+        "step_wall_ms_p50": round(st[len(st) // 2], 1),
+        "starved_step_fraction": round(
+            sum(w > 1.0 for w in wait_ms) / len(wait_ms), 3),
+        "note": "multiprocess prefetch workers share this 1-core host "
+                "with the training loop; wait_for_batch is the honest "
+                "pipeline-starvation cost here",
+    }
 
 
 if __name__ == "__main__":

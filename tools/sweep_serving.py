@@ -152,7 +152,7 @@ def main():
             print(f"[{key} b{b}] {row[f'batch{b}']}", flush=True)
         out["configs"][key] = row
 
-    if "--skip-accuracy" not in sys.argv and os.path.isdir(ckpt_dir):
+    if "--skip-accuracy" not in sys.argv and os.path.exists(ckpt_dir):
         for hw in CONFIGS:
             key = f"{hw[0]}x{hw[1]}"
             oj = f"/tmp/sweep_eval_{key}.json"
