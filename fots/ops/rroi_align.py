@@ -129,9 +129,44 @@ def pack_neighbors(features, prefer_pallas: bool = True):
         # the hot serving case (64-ch focr): XLA's concat codegen moves
         # this at ~50-60 GB/s (measured 20-25 ms per 32x176x320x64 bf16
         # map on v5e, every formulation tried); the double-buffered
-        # Pallas copy kernel streams it at HBM rate
-        return _pack_neighbors_pallas(features)
+        # Pallas copy kernel streams it at HBM rate.  The custom-VJP
+        # wrapper keeps the op differentiable (the training path
+        # backprops through RoIRotate; Pallas kernels have no autodiff)
+        return _pack_pallas_diff(features)
     return _pack_neighbors_xla(features)
+
+
+@jax.custom_vjp
+def _pack_pallas_diff(features):
+    return _pack_neighbors_pallas(features)
+
+
+def _pack_pallas_diff_fwd(features):
+    return _pack_neighbors_pallas(features), features.shape
+
+
+def _pack_pallas_diff_bwd(shape, g):
+    """pack_neighbors is linear: quads[i] = [x[i], x[i+1], x[i+W],
+    x[i+W+1]], so the cotangent of x[i] is the shifted sum of the four
+    quad slots that read it.  Out-of-map slots (zero-filled forward)
+    receive zero cotangent from the weight-masked gather downstream, so
+    plain zero-fill shifts are exact."""
+    b, h, w, c = shape
+    n = b * h * w
+    g = g.reshape(n, 4, c)
+
+    def down(x, k):  # x[i-k] with zero fill
+        if k == 0:
+            return x
+        return jnp.concatenate(
+            [jnp.zeros((k, c), x.dtype), x[:-k]], axis=0)
+
+    df = (g[:, 0] + down(g[:, 1], 1)
+          + down(g[:, 2], w) + down(g[:, 3], w + 1))
+    return (df.reshape(b, h, w, c),)
+
+
+_pack_pallas_diff.defvjp(_pack_pallas_diff_fwd, _pack_pallas_diff_bwd)
 
 
 def _pack_neighbors_xla(features):

@@ -127,3 +127,44 @@ def test_pack_neighbors_pallas_interpret():
     a = rroi_align_packed(qx, f.shape, rois, 11, 24, 1.0)
     b = rroi_align_packed(qp, f.shape, rois, 11, 24, 1.0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack_pallas_vjp_is_exact_adjoint():
+    """The Pallas pack's custom VJP must be the exact transpose of the
+    zero-fill linear map the kernel computes (the training path
+    backprops through RoIRotate): <pack(x), g> == <x, bwd(g)> for random
+    cotangents, checked against a NumPy zero-fill pack."""
+    from fots.ops.rroi_align import _pack_pallas_diff_bwd
+
+    rng = np.random.default_rng(7)
+    b, h, w, c = 2, 6, 8, 4
+    n = b * h * w
+    x = rng.standard_normal((b, h, w, c)).astype(np.float64)
+    flat = x.reshape(n, c)
+
+    # zero-fill forward (the Pallas kernel's semantics)
+    quads = np.zeros((n, 4, c))
+    for i in range(n):
+        quads[i, 0] = flat[i]
+        if i + 1 < n:
+            quads[i, 1] = flat[i + 1]
+        if i + w < n:
+            quads[i, 2] = flat[i + w]
+        if i + w + 1 < n:
+            quads[i, 3] = flat[i + w + 1]
+
+    g = rng.standard_normal((n, 4 * c)).astype(np.float64)
+    lhs = float((quads.reshape(n, 4 * c) * g).sum())
+    (df,) = _pack_pallas_diff_bwd((b, h, w, c),
+                                 np.asarray(g, np.float32))
+    rhs = float((x * np.asarray(df)).sum())
+    # the jnp bwd runs in f32 (x64 disabled); structure is exact
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+    # and elementwise vs a NumPy transpose
+    gq = g.reshape(n, 4, c)
+    ref = gq[:, 0].copy()
+    ref[1:] += gq[:-1, 1]
+    ref[w:] += gq[:-w, 2]
+    ref[w + 1:] += gq[:-w - 1, 3]
+    np.testing.assert_allclose(np.asarray(df).reshape(n, c), ref,
+                               rtol=1e-5, atol=1e-5)
