@@ -717,10 +717,17 @@ def main():
     # round 4 so the driver-recorded BENCH artifact carries a train number
     # (VERDICT r3 item 5); skip with --no-train for quick serving-only runs
     if "--no-train" not in sys.argv:
-        try:
-            extra["joint_train"] = _bench_joint_train()
-        except Exception as e:
-            extra["train_error"] = repr(e)
+        # one retry with a pause: the shared tunnel's remote-compile
+        # endpoint drops a request every so often (same class of blip the
+        # tunnel_e2e retry handles)
+        for attempt in (1, 2):
+            try:
+                extra["joint_train"] = _bench_joint_train()
+                extra.pop("train_error", None)
+                break
+            except Exception as e:
+                extra["train_error"] = repr(e)
+                time.sleep(5)
 
     # the 10x question, self-contained in the driver artifact (VERDICT r4
     # item 7): the committed sweep's accuracy-first row AND its best
