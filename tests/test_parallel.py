@@ -86,12 +86,20 @@ def test_mesh_serving_matches_single_device(rng):
     cw, _ = plain._forward_sparse(plain.variables, jnp.asarray(ims))
     padded = np.concatenate([ims, np.zeros((5, 64, 96, 3), np.float32)])
     cg, _ = meshed._forward_sparse(meshed.variables, meshed._put_batch(padded))
-    cw, cg = np.asarray(cw), np.asarray(cg)
+    from fots.ops.nms import unpack_candidates
+
+    # both engines emit the u16 transport pack; compare VALUES, not bits
+    cw = unpack_candidates(np.asarray(cw))
+    cg = unpack_candidates(np.asarray(cg))
     for i in range(3):
         # same candidate pixel set, same geometry (idx row is channel 7)
         ow, og = np.argsort(cw[i, 7]), np.argsort(cg[i, 7])
         np.testing.assert_array_equal(cw[i, 7, ow], cg[i, 7, og])
-        np.testing.assert_allclose(cw[i, :, ow], cg[i, :, og], atol=5e-2)
+        # mesh collectives change float rounding; after the f16 transport
+        # quantization a sub-ulp difference lands on a full ulp step
+        # (0.0625 at distances ~64 px), hence the rtol term
+        np.testing.assert_allclose(cw[i, :, ow], cg[i, :, og],
+                                   atol=5e-2, rtol=2e-3)
 
     # and the full meshed pipeline runs end to end (rois padded 3->8 etc.)
     results = meshed.batch_call(
