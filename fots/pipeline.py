@@ -31,8 +31,7 @@ from fots.codec import LabelCodec
 from fots.geometry import (TARGET_H, resize_to_multiple_of_32, rroi_from_box,
                            strip_width_for_box as _strip_width_for_box)
 from fots.models import FOTSDetector
-from fots.ops.nms import (extract_candidates, get_boxes_from_candidates,
-                          get_boxes_from_candidates_batch)
+from fots.ops.nms import extract_candidates, get_boxes_from_candidates_batch
 from fots.ops.rroi_align import pack_neighbors, rroi_align, rroi_align_packed
 
 # Strip-width buckets for serving.  MUST match the training bucket grid
