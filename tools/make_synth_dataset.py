@@ -110,10 +110,14 @@ def photo_background(rng, size_hw, bg_images):
 
 
 def make_scene(seed, idx, size_hw=(640, 960), fonts=(cv2.FONT_HERSHEY_SIMPLEX,),
-               bg_images=None):
+               bg_images=None, bg_mix=False):
+    """bg_mix: with bg_images given, each scene flips a coin between the
+    photo background and the synthetic gradient one (training-diversity
+    mode; plain bg_images = always photo, the eval-set convention)."""
     rng = np.random.default_rng((seed, idx))
     H, W = size_hw
-    if bg_images:
+    use_photo = bool(bg_images) and (not bg_mix or rng.uniform() < 0.5)
+    if use_photo:
         scene = photo_background(rng, size_hw, bg_images)
     else:
         # background: smooth gradient + noise + clutter
@@ -190,13 +194,20 @@ def main():
                          "docs/ACCURACY.md into a measurement")
     ap.add_argument("--bg_dir", default="/root/reference/data/example_image",
                     help="photo source for --domain_shift backgrounds")
+    ap.add_argument("--crossed", action="store_true",
+                    help="training-diversity mode: ALL five Hershey font "
+                         "families, and each scene flips between photo and "
+                         "gradient backgrounds — the full cross of the "
+                         "base and --domain_shift appearance axes")
     args = ap.parse_args()
 
     fonts = (cv2.FONT_HERSHEY_SIMPLEX,)
     bg_images = None
-    if args.domain_shift:
+    if args.domain_shift or args.crossed:
         fonts = (cv2.FONT_HERSHEY_DUPLEX, cv2.FONT_HERSHEY_TRIPLEX,
                  cv2.FONT_HERSHEY_COMPLEX, cv2.FONT_HERSHEY_PLAIN)
+        if args.crossed:
+            fonts = fonts + (cv2.FONT_HERSHEY_SIMPLEX,)
         import glob
 
         bg_images = [cv2.imread(p) for p in
@@ -209,7 +220,8 @@ def main():
     names = []
     for i in range(args.n):
         scene, quads, texts = make_scene(args.seed, i, tuple(args.size),
-                                         fonts=fonts, bg_images=bg_images)
+                                         fonts=fonts, bg_images=bg_images,
+                                         bg_mix=args.crossed)
         name = f"img_{i:03d}"
         cv2.imwrite(os.path.join(args.out, name + ".jpg"), scene,
                     [cv2.IMWRITE_JPEG_QUALITY, 92])
